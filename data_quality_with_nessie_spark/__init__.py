@@ -1,0 +1,24 @@
+"""data_quality_with_nessie_spark — a from-scratch PySpark-native quality-filter engine.
+
+Re-expresses the validation-rule layer of the reference
+(ahmadMuhammadGd/Data-Quality-with-Nessie, /root/reference) as a
+partition-parallel keep/drop quality-filter pipeline over a table of
+source-code files ``(repo, path, commit, lang, content)``:
+
+* vectorized language-ID + n-gram perplexity scoring (numpy over Arrow
+  batches — no per-row Python),
+* heuristic code-quality rules as native Catalyst column expressions,
+* compiled-regex PII/secret scrubbing producing byte-identical
+  ``scrubbed_content``,
+* per-partition lineage/metrics rows + manifest-based commit/resume
+  (the reference's intended-but-unwritten ``etl_metadata`` table,
+  cf. reference ``spark-container/spark/jobs/ingest.py:20-22``),
+* an operator library mirroring the reference's relational surface
+  (SURVEY.md §2) plus large-scale training-data ops (dedup, similarity
+  search, text analysis).
+
+Everything is public-API PySpark (DataFrame/SQL/Catalyst); no code is
+copied from the reference.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,175 @@
+"""Catalog/commit shim — branch-per-run, merge-or-quarantine, resume.
+
+Emulates the per-batch isolation the reference gets from Nessie
+branches (``CREATE BRANCH`` reference ``spark-container/spark/jobs/
+ingest.py:62``; ``MERGE BRANCH <b> INTO main`` ``merge_into_main.py:15``;
+quarantine-on-failure ``airflow/dags/10-error_handelings/
+amazon_csv_orders.py:64-93``) with a parquet + manifest backend that
+works offline:
+
+* a run writes each bucket's output under ``staging/<run_id>/`` (the
+  "branch"),
+* committing a bucket = atomically renaming its staged directory into
+  the final table and appending its lineage row to the ``metrics``
+  table (the "merge into main"),
+* the COMMITTED set = bucket ids present in ``metrics`` — exactly the
+  reference's NOT-IN re-ingest dedup (``ingest.py:70-83``) done as the
+  resume primitive: a rerun processes only pending buckets,
+* a staged-but-uncommitted bucket (crash window) is rolled back on the
+  next run, giving exactly-once output.
+
+On a real lakehouse this maps 1:1 onto Iceberg branch + fast-forward;
+the call-shape (stage → commit → resume) is kept so that backend is a
+drop-in (reference catalog config to replicate:
+``spark-container/modules/SparkIcebergNessieMinIO/CustomSparkConfig.py:29-41``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+KEPT = "kept"
+QUARANTINE = "quarantine"
+METRICS = "metrics"
+
+
+class LocalCatalog:
+    """Parquet+manifest table layout rooted at ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        for sub in (KEPT, QUARANTINE, METRICS, "staging"):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+
+    # ---- branch lifecycle ------------------------------------------------
+    def create_branch(self) -> str:
+        """New isolated staging area; returns the branch (run) id."""
+        run_id = "run-" + uuid.uuid4().hex[:12]
+        os.makedirs(os.path.join(self.root, "staging", run_id), exist_ok=True)
+        return run_id
+
+    def staging_dir(self, run_id: str) -> str:
+        return os.path.join(self.root, "staging", run_id)
+
+    # ---- committed-state introspection ------------------------------------
+    def committed_buckets(self, spark: SparkSession) -> set[int]:
+        """Bucket ids already merged into main (from the metrics table)."""
+        mdir = os.path.join(self.root, METRICS)
+        files = [f for f in os.listdir(mdir) if f.endswith(".parquet")]
+        if not files:
+            return set()
+        tbl = pq.read_table(mdir, columns=["bucket"])
+        return set(tbl.column("bucket").to_pylist())
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        from .schemas import METRICS as METRICS_SCHEMA
+
+        mdir = os.path.join(self.root, METRICS)
+        return spark.read.schema(METRICS_SCHEMA).parquet(mdir)
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read an output table with its declared schema (works even when
+        no bucket has been committed yet — empty-batch analog of the
+        reference's header-only ``sampled_data_3.csv``)."""
+        from . import schemas
+
+        declared = {KEPT: schemas.KEPT, QUARANTINE: schemas.QUARANTINE, METRICS: schemas.METRICS}
+        reader = spark.read
+        if name in declared:
+            reader = reader.schema(declared[name])
+        return reader.option("basePath", os.path.join(self.root, name)).parquet(
+            os.path.join(self.root, name)
+        )
+
+    # ---- commit ------------------------------------------------------------
+    def rollback_uncommitted(self) -> list[int]:
+        """Delete final bucket dirs that lack a lineage row (crash window)."""
+        committed = None
+        rolled: list[int] = []
+        for table in (KEPT, QUARANTINE):
+            tdir = os.path.join(self.root, table)
+            for entry in os.listdir(tdir):
+                if not entry.startswith("bucket="):
+                    continue
+                bucket = int(entry.split("=", 1)[1])
+                if committed is None:
+                    mdir = os.path.join(self.root, METRICS)
+                    files = [f for f in os.listdir(mdir) if f.endswith(".parquet")]
+                    committed = (
+                        set(pq.read_table(mdir, columns=["bucket"]).column("bucket").to_pylist())
+                        if files
+                        else set()
+                    )
+                if bucket not in committed:
+                    shutil.rmtree(os.path.join(tdir, entry))
+                    rolled.append(bucket)
+        return rolled
+
+    def commit_bucket(
+        self,
+        run_id: str,
+        bucket: int,
+        rows_in: int,
+        rows_out: int,
+        rule_hits: dict[str, int],
+        started_at: dt.datetime,
+    ) -> None:
+        """Atomic publish of one bucket: rename staged dirs + lineage row.
+
+        The lineage row is the commit record — it lands LAST, so a crash
+        at any earlier point leaves the bucket pending (picked up and
+        rolled back / reprocessed by the next run).
+        """
+        for table in (KEPT, QUARANTINE):
+            src = os.path.join(self.staging_dir(run_id), table, f"bucket={bucket}")
+            dst = os.path.join(self.root, table, f"bucket={bucket}")
+            if os.path.exists(src):
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+        row = {
+            "bucket": bucket,
+            "branch": run_id,
+            "commit_ref": uuid.uuid4().hex,
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "rule_hits": rule_hits,
+            "started_at": started_at,
+            "committed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+        }
+        schema = pa.schema(
+            [
+                pa.field("bucket", pa.int32()),
+                pa.field("branch", pa.string()),
+                pa.field("commit_ref", pa.string()),
+                pa.field("rows_in", pa.int64()),
+                pa.field("rows_out", pa.int64()),
+                pa.field("rule_hits", pa.map_(pa.string(), pa.int64())),
+                pa.field("started_at", pa.timestamp("us")),
+                pa.field("committed_at", pa.timestamp("us")),
+            ]
+        )
+        tbl = pa.Table.from_pylist([{**row, "rule_hits": list(row["rule_hits"].items())}], schema=schema)
+        final = os.path.join(self.root, METRICS, f"{run_id}-bucket-{bucket}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.rename(tmp, final)
+
+    def drop_branch(self, run_id: str) -> None:
+        """Discard a staging area (reference ``DROP BRANCH IF EXISTS``,
+        ``init_project.py:78``)."""
+        shutil.rmtree(self.staging_dir(run_id), ignore_errors=True)
+
+    def save_run_state(self, run_id: str, state: dict) -> None:
+        path = os.path.join(self.staging_dir(run_id), "state.json")
+        with open(path + ".tmp", "w") as fh:
+            json.dump(state, fh)
+        os.rename(path + ".tmp", path)

@@ -1,0 +1,474 @@
+"""Deterministic fixture generator for the ``source_files`` input table.
+
+Mirrors the reference's adversarial fixture strategy — a clean sample
+plus a corrupted twin built by injecting known defects at controlled
+rates (reference ``data/original_dataset/sampler.py:49-76``:
+duplicates, negatives, nulls, noise, typos) — translated to the
+source-code domain of BASELINE.json's ``input_hint``. Every row carries
+exactly-known ground truth (``planted`` column in the side frame).
+
+Seeded + self-contained: no external data, same bytes every run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from .rules import heuristics as H
+
+# ---- sample programs per language — DISTINCT from rules/corpus.py ------
+_PY_BODY = '''\
+"""Utilities for {noun} management."""
+import json
+import logging
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_{const} = {num}
+
+def load_{noun}(path):
+    """Load the {noun} registry from a JSON file."""
+    with open(path, "r", encoding="utf-8") as handle:
+        data = json.load(handle)
+    logger.info("loaded %d entries", len(data))
+    return {{item["id"]: item for item in data}}
+
+def merge_{noun}(base, extra):
+    merged = dict(base)
+    for key, value in extra.items():
+        if key in merged and merged[key] != value:
+            logger.warning("conflict on %s", key)
+        merged[key] = value
+    return merged
+
+class {cls}:
+    """In-memory cache with a fixed capacity."""
+
+    def __init__(self, capacity=DEFAULT_{const}):
+        self.capacity = capacity
+        self._entries = {{}}
+
+    def get(self, key, default=None):
+        return self._entries.get(key, default)
+
+    def put(self, key, value):
+        if len(self._entries) >= self.capacity:
+            oldest = next(iter(self._entries))
+            del self._entries[oldest]
+        self._entries[key] = value
+        return value
+'''
+
+_JS_BODY = '''\
+// Helpers for {noun} rendering.
+import {{ useState, useEffect }} from 'react';
+
+const {const} = {num};
+
+export function use{cls}(initial) {{
+  const [items, setItems] = useState(initial || []);
+  const [loading, setLoading] = useState(false);
+
+  useEffect(() => {{
+    let cancelled = false;
+    setLoading(true);
+    fetch(`/api/{noun}?limit=${{{const}}}`)
+      .then((res) => res.json())
+      .then((data) => {{
+        if (!cancelled) setItems(data.items);
+      }})
+      .finally(() => setLoading(false));
+    return () => {{
+      cancelled = true;
+    }};
+  }}, []);
+
+  return {{ items, loading }};
+}}
+
+export const format{cls} = (item) => {{
+  const label = item.name ? item.name.trim() : 'unknown';
+  return `${{label}} (${{item.count || 0}})`;
+}};
+
+export default function {cls}List({{ onSelect }}) {{
+  const {{ items, loading }} = use{cls}([]);
+  if (loading) return null;
+  return items.map((item) => format{cls}(item)).join(', ');
+}}
+'''
+
+_JAVA_BODY = '''\
+package com.example.{noun};
+
+import java.util.Optional;
+import java.util.HashMap;
+import java.time.Instant;
+
+/** Repository for {noun} records. */
+public class {cls}Repository {{
+    private static final int {const} = {num};
+    private final HashMap<Long, {cls}Record> storage = new HashMap<>();
+
+    public Optional<{cls}Record> findById(long id) {{
+        return Optional.ofNullable(storage.get(id));
+    }}
+
+    public {cls}Record save({cls}Record record) {{
+        if (storage.size() >= {const}) {{
+            throw new IllegalStateException("capacity exceeded");
+        }}
+        storage.put(record.getId(), record);
+        return record;
+    }}
+
+    public int count() {{
+        return storage.size();
+    }}
+
+    public record {cls}Record(long id, String name, Instant createdAt) {{
+        public long getId() {{
+            return id;
+        }}
+    }}
+}}
+'''
+
+_GO_BODY = '''\
+package {noun}
+
+import (
+	"errors"
+	"sort"
+	"strings"
+)
+
+const {const} = {num}
+
+var ErrNotFound = errors.New("{noun}: not found")
+
+type {cls} struct {{
+	Name   string
+	Weight int
+}}
+
+func Normalize(name string) string {{
+	return strings.ToLower(strings.TrimSpace(name))
+}}
+
+func Rank(items []{cls}) []{cls} {{
+	out := make([]{cls}, len(items))
+	copy(out, items)
+	sort.Slice(out, func(i, j int) bool {{
+		if out[i].Weight == out[j].Weight {{
+			return out[i].Name < out[j].Name
+		}}
+		return out[i].Weight > out[j].Weight
+	}})
+	if len(out) > {const} {{
+		out = out[:{const}]
+	}}
+	return out
+}}
+
+func Find(items []{cls}, name string) (*{cls}, error) {{
+	needle := Normalize(name)
+	for i := range items {{
+		if Normalize(items[i].Name) == needle {{
+			return &items[i], nil
+		}}
+	}}
+	return nil, ErrNotFound
+}}
+'''
+
+_C_BODY = '''\
+/* {noun} ring buffer implementation. */
+#include <stddef.h>
+#include <string.h>
+
+#define {const} {num}
+
+struct ring {{
+    unsigned char data[{const}];
+    size_t head;
+    size_t tail;
+}};
+
+void ring_init(struct ring *r) {{
+    memset(r, 0, sizeof(*r));
+}}
+
+size_t ring_size(const struct ring *r) {{
+    return (r->head - r->tail) % {const};
+}}
+
+int ring_push(struct ring *r, unsigned char byte) {{
+    if (ring_size(r) == {const} - 1) {{
+        return -1;
+    }}
+    r->data[r->head % {const}] = byte;
+    r->head++;
+    return 0;
+}}
+
+int ring_pop(struct ring *r, unsigned char *out) {{
+    if (r->head == r->tail) {{
+        return -1;
+    }}
+    *out = r->data[r->tail % {const}];
+    r->tail++;
+    return 0;
+}}
+'''
+
+_MD_BODY = '''\
+# {cls} Guide
+
+This document explains how the {noun} subsystem is configured and
+operated in production. It is aimed at on-call engineers and assumes
+familiarity with the deployment tooling.
+
+## Background
+
+The {noun} service receives batches from the upstream queue and writes
+normalized records to the warehouse. Batches are retried up to {num}
+times before being routed to the dead-letter topic.
+
+## Runbook
+
+1. Check the dashboard for consumer lag.
+2. If lag exceeds the alert threshold, scale the worker pool.
+3. Inspect recent deployments before restarting anything.
+
+## Frequently asked questions
+
+**Why are batches delayed?** Usually an upstream schema change; check
+the validation error counter first.
+
+**How do I replay a batch?** Use the replay command with the batch id
+from the audit log, and confirm the target environment twice.
+'''
+
+_TEXT_BODY = '''\
+Meeting notes, {noun} working group, session {num}.
+
+Attendees reviewed the open action items from the previous session and
+agreed on the revised timeline. The main discussion covered rollout
+sequencing: the group prefers enabling the feature for internal users
+first, followed by a staged percentage rollout over two weeks.
+
+Concerns were raised about measurement: the current dashboards do not
+separate new-user and returning-user cohorts, which makes the primary
+metric noisy. The analytics team took an action to add the cohort
+split before the rollout begins.
+
+Next steps: finalize the guardrail metrics, document the rollback
+procedure, and circulate the launch checklist to stakeholders for
+sign-off by the end of the week.
+'''
+
+_BODIES: dict[str, str] = {
+    "python": _PY_BODY,
+    "javascript": _JS_BODY,
+    "java": _JAVA_BODY,
+    "go": _GO_BODY,
+    "c": _C_BODY,
+    "markdown": _MD_BODY,
+    "text": _TEXT_BODY,
+}
+
+_EXT: dict[str, str] = {
+    "python": "py",
+    "javascript": "js",
+    "java": "java",
+    "go": "go",
+    "c": "c",
+    "markdown": "md",
+    "text": "txt",
+}
+
+_NOUNS = [
+    "inventory", "billing", "telemetry", "session", "catalog", "routing",
+    "ledger", "profile", "schedule", "archive", "payment", "shipment",
+]
+_CLASSES = [
+    "Widget", "Account", "Batch", "Segment", "Bundle", "Packet",
+    "Cluster", "Record", "Ticket", "Sample",
+]
+
+# planted condition → probability (FIXTURES.md §2; drop-conditions
+# mostly exclusive; expected keep-rate ≈ 0.72)
+_CONDITIONS = [
+    ("clean", 0.60),
+    ("pii", 0.15),
+    ("line_length", 0.05),
+    ("alnum_ratio", 0.04),
+    ("autogen", 0.05),
+    ("dup_lines", 0.04),
+    ("langid", 0.03),
+    ("perplexity", 0.03),
+    ("null_field", 0.01),
+]
+
+_PII_SNIPPETS = [
+    "# contact: {user}@{host}.com for access\n",
+    '# aws_access_key_id = AKIA{key16}\n',
+    'API_KEY = "{token32}"\n',
+    "# reachable at 192.168.{a}.{b} during maintenance\n",
+    "# maintainer email: {user}.{user2}@{host}.org\n",
+]
+
+
+def _one_body(rng: np.random.Generator, lang: str) -> str:
+    return _BODIES[lang].format(
+        noun=rng.choice(_NOUNS),
+        cls=rng.choice(_CLASSES),
+        const="LIMIT_" + str(rng.integers(1, 99)),
+        num=int(rng.integers(8, 4096)),
+    )
+
+
+def _base_content(rng: np.random.Generator, lang: str) -> str:
+    # one body (template lines repeat across bodies, which would trip the
+    # duplicate-line rule on legitimate files); vary length with unique
+    # trailing comment/prose lines
+    body = _one_body(rng, lang)
+    marker = {"markdown": "> ", "text": ""}.get(lang, {"python": "# "}.get(lang, "// "))
+    extra_n = int(rng.integers(0, 12))
+    extras = [
+        f"{marker}note {i}: {rng.choice(_NOUNS)} {rng.choice(_NOUNS)} "
+        f"{rng.choice(_CLASSES)} case {int(rng.integers(0, 10_000))}"
+        for i in range(extra_n)
+    ]
+    return body + ("\n" + "\n".join(extras) + "\n" if extras else "")
+
+
+def _multiline(blob: str, rng: np.random.Generator, width_lo: int = 40, width_hi: int = 70) -> str:
+    """Break a blob into lines so it doesn't also trip line_length."""
+    out, i = [], 0
+    while i < len(blob):
+        w = int(rng.integers(width_lo, width_hi))
+        out.append(blob[i : i + w])
+        i += w
+    return "\n".join(out)
+
+
+def _inject(rng: np.random.Generator, lang: str, cond: str, content: str, path: str) -> tuple[str | None, str]:
+    """Apply one planted condition; returns (content, path)."""
+    if cond == "clean":
+        return content, path
+    if cond == "pii":
+        snippets = rng.choice(len(_PII_SNIPPETS), size=int(rng.integers(1, 4)))
+        extra = ""
+        for si in snippets:
+            extra += _PII_SNIPPETS[si].format(
+                user=rng.choice(_NOUNS),
+                user2=rng.choice(_NOUNS),
+                host=rng.choice(_NOUNS),
+                key16="".join(rng.choice(list("ABCDEFGHIJKLMNOP0123456789"), 16)),
+                token32="".join(rng.choice(list("abcdef0123456789"), 32)),
+                a=int(rng.integers(0, 255)),
+                b=int(rng.integers(1, 255)),
+            )
+        return extra + content, path
+    if cond == "line_length":
+        # minified: one giant line of realistic code tokens past MAX_LINE_LEN
+        frags = [
+            "var a=require('./core');", "function(e,t){return e+t};",
+            "if(n.length>0){n.push(r)};", "export default {key:value};",
+        ]
+        parts, total = [], 0
+        while total <= H.MAX_LINE_LEN + 400:
+            frag = frags[int(rng.integers(0, len(frags)))]
+            parts.append(frag)
+            total += len(frag)
+        # giant line goes at the END so the langid/perplexity scorers
+        # (which read the head) still see the claimed language
+        return content + "\n" + "".join(parts) + "\n", path
+    if cond == "alnum_ratio":
+        blob = "".join(rng.choice(list("+/=~!@#$%^&*()[]{}|\\<>?"), size=600))
+        return _multiline(blob, rng), path
+    if cond == "autogen":
+        if rng.random() < 0.5:
+            return "// Code generated by protoc-gen. DO NOT EDIT.\n" + content, path
+        stem = path.rsplit(".", 1)[0]
+        return content, stem + ("_pb2.py" if lang == "python" else ".min.js")
+    if cond == "dup_lines":
+        # repeat a line drawn from the body itself so the langid profile
+        # still matches the claimed language
+        lines = content.split("\n")
+        candidates = [l for l in lines if len(l.strip()) >= 10]
+        rep = candidates[int(rng.integers(0, len(candidates)))] if candidates else "pad line value"
+        head = lines[: min(12, len(lines))]
+        return "\n".join(head + [rep] * 40), path
+    if cond == "langid":
+        # prose content under a code lang label (or vice versa)
+        other = "text" if lang not in ("text", "markdown") else "python"
+        return _base_content(rng, other), path
+    if cond == "perplexity":
+        gibberish = "".join(
+            rng.choice(list("qxzjkvwfbghy qxzjk"), size=int(rng.integers(400, 900)))
+        )
+        return _multiline(gibberish, rng), path
+    if cond == "null_field":
+        return (None if rng.random() < 0.7 else ""), path
+    raise ValueError(cond)
+
+
+def generate_source_files(
+    n_rows: int, seed: int = 42, skew_repo_fraction: float = 0.30
+) -> pd.DataFrame:
+    """Build the fixture table; returns input cols + ``planted`` truth col.
+
+    ONE skew repo (``bigorg/monorepo``) holds ``skew_repo_fraction`` of
+    all rows to exercise salting (FIXTURES.md §1).
+    """
+    rng = np.random.default_rng(seed)
+    langs = list(_BODIES)
+    cond_names = [c for c, _ in _CONDITIONS]
+    cond_probs = np.array([p for _, p in _CONDITIONS])
+    cond_probs = cond_probs / cond_probs.sum()
+
+    repos = [f"org{i // 7}/repo{i % 7}" for i in range(49)]
+    rows: list[dict] = []
+    for i in range(n_rows):
+        repo = "bigorg/monorepo" if rng.random() < skew_repo_fraction else repos[int(rng.integers(0, len(repos)))]
+        lang = langs[int(rng.integers(0, len(langs)))]
+        cond = cond_names[int(rng.choice(len(cond_names), p=cond_probs))]
+        noun = rng.choice(_NOUNS)
+        path = f"src/{noun}/{rng.choice(_NOUNS)}_{i}.{_EXT[lang]}"
+        content = _base_content(rng, lang)
+        content, path = _inject(rng, lang, cond, content, path)
+        commit = hashlib.sha1(f"{repo}/{path}#0".encode()).hexdigest()
+        rows.append(
+            {
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "lang": lang,
+                "content": content,
+                "planted": cond,
+            }
+        )
+        # ~5% of files appear at a second commit (dedup/resume cases)
+        if rng.random() < 0.05:
+            rows.append(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": hashlib.sha1(f"{repo}/{path}#1".encode()).hexdigest(),
+                    "lang": lang,
+                    "content": (content + "\n# rev 2\n") if content else content,
+                    "planted": cond,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def input_columns(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Strip the ground-truth column → the authoritative input shape."""
+    return pdf[["repo", "path", "commit", "lang", "content"]].copy()

@@ -1,0 +1,156 @@
+"""The quality-filter pipeline: read → rules → scrub → kept/quarantine/metrics.
+
+This is the rebuild of the reference's cleansing stage (reference
+``spark-container/spark/jobs/cleansing.py:64-140``) with its silent row
+removals turned into explicit named rules, plus the publication
+semantics of the merge/quarantine DAGs (SURVEY.md §3.2-3.3), per
+*file row* instead of per CSV batch.
+
+Plan shape (deliberate, cf. SURVEY.md §4 anti-patterns):
+* ONE ``select`` computes every rule column, the sha256, the scrub and
+  the reasons array — no chained ``withColumn`` plan bloat, one Arrow
+  round-trip per scorer UDF (the reference does 12+,
+  ``cleansing.py:119-122``);
+* row counts come from the same aggregation that builds the lineage
+  rows — never a separate ``.count()`` action re-executing the plan
+  (the reference re-runs its plan per count, ``ingest.py:59,86``);
+* the input is bucketed on a salted repo key and repartitioned once;
+  everything downstream is narrow until the final partitioned write.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import skew
+from .catalog import KEPT, QUARANTINE, LocalCatalog
+from .rules.registry import RULE_NAMES, reasons_column, rule_columns
+from .schemas import SOURCE_FILES
+from .scrub.patterns import scrub_series
+
+
+@F.pandas_udf(T.StringType())
+def _scrub_udf(content: pd.Series) -> pd.Series:
+    return scrub_series(content)
+
+
+INPUT_COLS = [f.name for f in SOURCE_FILES.fields]
+
+
+def classify(
+    df: DataFrame, n_buckets: int = skew.DEFAULT_BUCKETS, bucketed: bool = False
+) -> DataFrame:
+    """Annotate every row with rule verdicts, keep flag, scrub + hashes.
+
+    Pure transformation — no actions, no writes. Columns added:
+    ``bucket, rule_<name>..., keep, rejection_reasons, content_sha256,
+    scrubbed_content, scrubbed_sha256``. Pass ``bucketed=True`` when the
+    input already carries the ``bucket`` column (resume path).
+    """
+    if not bucketed:
+        df = skew.with_bucket(df, n_buckets)
+    df = skew.repartition_by_bucket(df, n_buckets)
+    flagged = df.select(
+        "*",
+        *rule_columns(df),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        _scrub_udf(F.col("content")).alias("scrubbed_content"),
+    )
+    keep = ~F.array_contains(
+        F.array(*[F.col(f"rule_{n}") for n in RULE_NAMES]), F.lit(True)
+    )
+    return flagged.select(
+        "*",
+        keep.alias("keep"),
+        reasons_column().alias("rejection_reasons"),
+        F.sha2(F.col("scrubbed_content"), 256).alias("scrubbed_sha256"),
+    )
+
+
+def run(
+    spark: SparkSession,
+    source: DataFrame,
+    catalog: LocalCatalog,
+    n_buckets: int = skew.DEFAULT_BUCKETS,
+) -> dict:
+    """One resumable pipeline run. Returns a summary dict.
+
+    Stage → commit protocol (see ``catalog.py``): only buckets without a
+    lineage row are processed; each processed bucket is published
+    atomically. Re-running after a kill never duplicates rows (the
+    reference's NOT-IN re-ingest dedup, ``ingest.py:70-83``, done as an
+    anti-filter on the committed set — and unlike the reference's
+    ``ingest.py:98`` wart, the frame we count is the frame we write).
+    """
+    started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    catalog.rollback_uncommitted()
+    committed = catalog.committed_buckets(spark)
+    run_id = catalog.create_branch()
+
+    # resume filter FIRST, before any scoring work: committed rows cost
+    # only scan + hash + filter, never a scrub/scorer pass. When the
+    # input itself is partitioned by bucket this prunes at the scan.
+    pending = skew.with_bucket(source, n_buckets)
+    if committed:
+        pending = pending.filter(~F.col("bucket").isin(sorted(committed)))
+    classified = classify(pending, n_buckets, bucketed=True)
+
+    kept_cols = INPUT_COLS + ["content_sha256", "scrubbed_content", "scrubbed_sha256", "bucket"]
+    quarantine_cols = INPUT_COLS + ["content_sha256", "rejection_reasons", "bucket"]
+
+    stage = catalog.staging_dir(run_id)
+    # persist the classified frame once; both writes + the metrics agg
+    # reuse it instead of re-running the scorer UDFs three times.
+    classified.persist()
+    try:
+        classified.filter("keep").select(*kept_cols).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(stage, KEPT))
+        classified.filter(~F.col("keep")).select(*quarantine_cols).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(stage, QUARANTINE))
+
+        # lineage: one aggregation pass → per-bucket rows_in/rows_out/rule hits
+        aggs = [
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("keep").cast("long")).alias("rows_out"),
+            *[
+                F.sum(F.col(f"rule_{n}").cast("long")).alias(f"hits_{n}")
+                for n in RULE_NAMES
+            ],
+        ]
+        stats = {r["bucket"]: r.asDict() for r in classified.groupBy("bucket").agg(*aggs).collect()}
+    finally:
+        classified.unpersist()
+
+    for bucket in sorted(stats):
+        s = stats[bucket]
+        catalog.commit_bucket(
+            run_id,
+            bucket,
+            rows_in=s["rows_in"],
+            rows_out=s["rows_out"] or 0,
+            rule_hits={n: int(s[f"hits_{n}"] or 0) for n in RULE_NAMES},
+            started_at=started,
+        )
+    catalog.drop_branch(run_id)
+    return {
+        "run_id": run_id,
+        "buckets_processed": sorted(stats),
+        "buckets_skipped": sorted(committed),
+        "rows_in": int(sum(s["rows_in"] for s in stats.values())),
+        "rows_out": int(sum((s["rows_out"] or 0) for s in stats.values())),
+    }
+
+
+def read_source(spark: SparkSession, path: str) -> DataFrame:
+    """Read the input table with the declared schema (no inference —
+    the reference's ``inferSchema=True`` full pre-scan, ``ingest.py:53``,
+    does not survive 10^12 files)."""
+    return spark.read.schema(SOURCE_FILES).parquet(path)

@@ -1,0 +1,1 @@
+from .registry import RULES, RULE_NAMES, rule_columns  # noqa: F401

@@ -1,0 +1,119 @@
+"""Declarative rule registry — the formalization of the reference's
+abandoned strategy-pipeline idea (``SparkCleaner``/``CleaningPipeline``
+imported but never used, reference ``cleansing.py:32-33``,
+``requirements.txt:5``).
+
+Every rule is a named predicate that marks a row for rejection. The
+pipeline folds ALL rules into ONE ``select`` (single plan pass, single
+Arrow round-trip for the scorer UDFs) — deliberately unlike the
+reference's 24 chained ``withColumn`` calls (``cleansing.py:119-122``,
+SURVEY.md §4 anti-patterns).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import heuristics as H
+from . import scoring
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    # builds a BooleanType column from the input DataFrame's columns
+    spark: Callable[[DataFrame], Column]
+    # vectorized pandas twin over the full input frame (frozen labeler path)
+    pandas: Callable[[pd.DataFrame], pd.Series]
+    # True when the Spark side is a pandas UDF rather than a native expr
+    is_udf: bool = False
+
+
+# ---- Spark-side pandas UDFs for the two model scorers -------------------
+@F.pandas_udf(T.BooleanType())
+def _langid_reject_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+    return scoring.langid_reject(content, lang)
+
+
+@F.pandas_udf(T.BooleanType())
+def _perplexity_reject_udf(content: pd.Series) -> pd.Series:
+    return scoring.perplexity_reject(content)
+
+
+RULES: tuple[Rule, ...] = (
+    Rule(
+        "null_field",
+        lambda df: H.spark_null_field({c: df[c] for c in ("repo", "path", "commit", "content")}),
+        H.pd_null_field,
+    ),
+    Rule(
+        "line_length",
+        lambda df: H.spark_line_length(df["content"]),
+        lambda pdf: H.pd_line_length(pdf["content"]),
+    ),
+    Rule(
+        "alnum_ratio",
+        lambda df: H.spark_alnum_ratio(df["content"]),
+        lambda pdf: H.pd_alnum_ratio(pdf["content"]),
+    ),
+    Rule(
+        "autogen",
+        lambda df: H.spark_autogen(df["path"], df["content"]),
+        lambda pdf: H.pd_autogen(pdf["path"], pdf["content"]),
+    ),
+    Rule(
+        "dup_lines",
+        lambda df: H.spark_dup_lines(df["content"]),
+        lambda pdf: H.pd_dup_lines(pdf["content"]),
+    ),
+    Rule(
+        "langid",
+        lambda df: _langid_reject_udf(df["content"], df["lang"]),
+        lambda pdf: scoring.langid_reject(pdf["content"], pdf["lang"]),
+        is_udf=True,
+    ),
+    Rule(
+        "perplexity",
+        lambda df: _perplexity_reject_udf(df["content"]),
+        lambda pdf: scoring.perplexity_reject(pdf["content"]),
+        is_udf=True,
+    ),
+)
+
+RULE_NAMES: tuple[str, ...] = tuple(r.name for r in RULES)
+
+
+def rule_columns(df: DataFrame) -> list[Column]:
+    """One non-null boolean column per rule, aliased ``rule_<name>``."""
+    return [
+        F.coalesce(rule.spark(df), F.lit(False)).alias(f"rule_{rule.name}")
+        for rule in RULES
+    ]
+
+
+def reasons_column() -> Column:
+    """Sorted array of fired rule ids from the ``rule_*`` columns."""
+    pairs = F.array(
+        *[
+            F.when(F.col(f"rule_{name}"), F.lit(name)).otherwise(F.lit(None))
+            for name in RULE_NAMES
+        ]
+    )
+    return F.array_sort(F.filter(pairs, lambda x: x.isNotNull()))
+
+
+def pandas_reasons(pdf: pd.DataFrame) -> pd.Series:
+    """Frozen-labeler twin of :func:`reasons_column` (sorted rule ids)."""
+    fired = {rule.name: rule.pandas(pdf).fillna(False) for rule in RULES}
+    names = sorted(fired)
+    import numpy as np
+
+    mat = np.column_stack([fired[n].to_numpy(dtype=bool) for n in names])
+    arr = [sorted([names[j] for j in range(len(names)) if row[j]]) for row in mat]
+    return pd.Series(arr, index=pdf.index)

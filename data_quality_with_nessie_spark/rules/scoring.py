@@ -1,0 +1,170 @@
+"""Vectorized language-ID + n-gram perplexity scoring (numpy, Arrow-batch).
+
+The reference's only UDF is a per-row ``series.apply(lambda x: spell(x))``
+inside a pandas UDF (reference ``spark-container/spark/jobs/
+cleansing.py:107-122``) — the north_rule explicitly forbids that shape.
+Here every scorer is a whole-batch numpy pipeline:
+
+1. the batch's contents (truncated to ``MAX_SCORE_CHARS``) are UTF-8
+   encoded and concatenated into ONE byte buffer,
+2. character-trigram hashes are computed for the entire buffer with
+   three vectorized multiplies (fastText-style hashed n-gram features),
+3. per-document trigram log-probability sums are recovered exactly via
+   a cumulative-sum difference on document offsets (trigrams crossing
+   document boundaries are excluded by construction).
+
+Models are naive-Bayes-style per-trigram log-likelihoods trained at
+import time from the embedded corpus in ``corpus.py`` — fully
+deterministic, no seeds, no I/O. The same functions are called by the
+frozen reference labeler and by the Spark pandas UDFs, so the labels
+agree by construction (F1 gate in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from .corpus import KNOWN_LANGS, TRAINING_CORPUS
+
+# ---- model hyperparameters (fixed constants — part of the frozen spec) ----
+N_BUCKETS = 1 << 16          # hashed trigram feature space
+MAX_SCORE_CHARS = 1024       # score on the first 1 KiB of each file
+ALPHA = 0.5                  # add-alpha smoothing
+LANGID_MIN_CHARS = 200       # don't judge tiny files
+# predicted must beat claimed by this much (nats/trigram). Calibrated on
+# the fixture corpus: correct-label confusion (markdown↔text) tops out
+# at ~0.15, genuinely mislabeled files start at ~0.59.
+LANGID_MARGIN = 0.35
+PPL_MIN_CHARS = 100
+# bits/trigram above which content is "gibberish". Calibrated: clean
+# code/prose ≤ ~14.2, random-character blobs ≥ ~15.6.
+PPL_MAX_BITS = 15.0
+
+_LANGS: tuple[str, ...] = KNOWN_LANGS
+_LANG_IDX: dict[str, int] = {lang: i for i, lang in enumerate(_LANGS)}
+
+
+def _trigram_hashes(buf: np.ndarray) -> np.ndarray:
+    """Hash every byte trigram of ``buf`` (uint8) into [0, N_BUCKETS)."""
+    if buf.size < 3:
+        return np.zeros(0, dtype=np.int64)
+    b = buf.astype(np.int64)
+    return (b[:-2] * 65599 + b[1:-1] * 131 + b[2:]) & (N_BUCKETS - 1)
+
+
+def _train() -> tuple[np.ndarray, np.ndarray]:
+    """Per-language trigram log-odds matrix + background log-prob vector."""
+    counts = np.zeros((len(_LANGS), N_BUCKETS), dtype=np.float64)
+    for lang, text in TRAINING_CORPUS.items():
+        buf = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        h = _trigram_hashes(buf)
+        np.add.at(counts[_LANG_IDX[lang]], h, 1.0)
+    totals = counts.sum(axis=1, keepdims=True)
+    logp = np.log((counts + ALPHA) / (totals + ALPHA * N_BUCKETS))
+    bg_counts = counts.sum(axis=0)
+    bg_logp = np.log((bg_counts + ALPHA) / (bg_counts.sum() + ALPHA * N_BUCKETS))
+    # language score = mean per-trigram log-likelihood RATIO vs background,
+    # so common code trigrams (whitespace runs, "the ") don't dominate.
+    return (logp - bg_logp[None, :]).astype(np.float64), bg_logp.astype(np.float64)
+
+
+_LANG_LLR, _BG_LOGP = _train()
+
+
+def _encode_batch(contents: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """UTF-8 encode a batch into one buffer.
+
+    Returns (byte buffer uint8, per-doc trigram counts, per-doc trigram
+    start offsets). All steps are pandas/numpy C loops over the batch.
+    """
+    vals = contents.fillna("").astype(str).str.slice(0, MAX_SCORE_CHARS)
+    encoded = vals.str.encode("utf-8").tolist()
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
+    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    ntri = np.maximum(lens - 2, 0)
+    return buf, ntri, offsets[:-1]
+
+
+def _segment_means(weights: np.ndarray, starts: np.ndarray, ntri: np.ndarray) -> np.ndarray:
+    """Exact per-document mean of ``weights`` over [start, start+ntri)."""
+    cs = np.zeros(weights.size + 1, dtype=np.float64)
+    np.cumsum(weights, out=cs[1:])
+    # docs shorter than 3 bytes have ntri == 0 but their offset can sit
+    # past the end of the trigram array (e.g. an empty doc at the batch
+    # tail) — clip; their sum is 0 either way.
+    starts_c = np.minimum(starts, weights.size)
+    ends_c = np.minimum(starts + ntri, weights.size)
+    sums = cs[ends_c] - cs[starts_c]
+    return sums / np.maximum(ntri, 1)
+
+
+def langid_scores(contents: pd.Series) -> pd.DataFrame:
+    """Per-document predicted language + per-language mean log-odds.
+
+    Columns: ``pred`` (str), ``score_<lang>`` per known language.
+    """
+    buf, ntri, starts = _encode_batch(contents)
+    h = _trigram_hashes(buf)
+    n = len(contents)
+    scores = np.zeros((len(_LANGS), n), dtype=np.float64)
+    for li in range(len(_LANGS)):
+        scores[li] = _segment_means(_LANG_LLR[li, h], starts, ntri)
+    pred_idx = np.argmax(scores, axis=0)
+    out = pd.DataFrame(
+        {f"score_{lang}": scores[li] for li, lang in enumerate(_LANGS)},
+        index=contents.index,
+    )
+    out["pred"] = np.asarray(_LANGS, dtype=object)[pred_idx]
+    out.loc[ntri == 0, "pred"] = ""
+    return out
+
+
+def langid_reject(contents: pd.Series, claimed: pd.Series) -> pd.Series:
+    """True where the claimed language is contradicted by the content.
+
+    Fires only when the claimed lang is in the model's label set, the
+    file is long enough to judge, and the best language beats the
+    claimed one by ``LANGID_MARGIN`` nats/trigram.
+    """
+    n_chars = contents.fillna("").str.len().to_numpy(dtype=np.int64)
+    sc = langid_scores(contents)
+    lang_cols = [f"score_{lang}" for lang in _LANGS]
+    mat = sc[lang_cols].to_numpy()
+    best = mat.max(axis=1)
+    claimed_norm = claimed.fillna("").str.lower()
+    claimed_idx = claimed_norm.map(_LANG_IDX).to_numpy()
+    known = ~pd.isna(claimed_idx)
+    claimed_score = np.where(
+        known, mat[np.arange(len(mat)), np.where(known, claimed_idx, 0).astype(int)], 0.0
+    )
+    pred_differs = sc["pred"].to_numpy() != claimed_norm.to_numpy()
+    fired = (
+        known
+        & (n_chars >= LANGID_MIN_CHARS)
+        & pred_differs
+        & ((best - claimed_score) > LANGID_MARGIN)
+    )
+    return pd.Series(fired, index=contents.index, dtype=bool)
+
+
+def perplexity_bits(contents: pd.Series) -> pd.Series:
+    """Background-LM perplexity in bits/trigram (higher = more alien)."""
+    buf, ntri, starts = _encode_batch(contents)
+    h = _trigram_hashes(buf)
+    means = _segment_means(_BG_LOGP[h], starts, ntri)
+    bits = -means / math.log(2.0)
+    bits[ntri == 0] = 0.0
+    return pd.Series(bits, index=contents.index, dtype=np.float64)
+
+
+def perplexity_reject(contents: pd.Series) -> pd.Series:
+    """True where content is gibberish by the background LM."""
+    n_chars = contents.fillna("").str.len().to_numpy(dtype=np.int64)
+    bits = perplexity_bits(contents).to_numpy()
+    fired = (n_chars >= PPL_MIN_CHARS) & (bits > PPL_MAX_BITS)
+    return pd.Series(fired, index=contents.index, dtype=bool)

@@ -1,0 +1,75 @@
+"""Explicit schemas — no inference anywhere.
+
+The reference infers CSV schemas at read time (reference
+``spark-container/spark/jobs/ingest.py:53`` ``inferSchema=True``) which
+costs a full pre-scan; at 10^12-file scale every schema here is a
+declared ``StructType`` (SURVEY.md §2.1 S1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Input table (authoritative shape from BASELINE.json input_hint).
+SOURCE_FILES = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+# Output: kept rows (input cols + scrub artifacts).
+KEPT = T.StructType(
+    list(SOURCE_FILES.fields)
+    + [
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("scrubbed_content", T.StringType(), True),
+        T.StructField("scrubbed_sha256", T.StringType(), True),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+# Output: quarantined rows with the rejection-reason struct
+# (the per-row analog of the reference's CSV quarantine move,
+# reference ``airflow/dags/10-error_handelings/amazon_csv_orders.py:64-93``).
+QUARANTINE = T.StructType(
+    list(SOURCE_FILES.fields)
+    + [
+        T.StructField("content_sha256", T.StringType(), True),
+        T.StructField("rejection_reasons", T.ArrayType(T.StringType(), False), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+# Lineage/metrics table — realizes the reference's intended
+# ``etl_metadata`` table (env ``AMAZON_ETL_METADATA`` in
+# ``config/dwh.env``; docstring intent ``ingest.py:20-22``; never
+# created in reference code).
+METRICS = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("branch", T.StringType(), False),
+        T.StructField("commit_ref", T.StringType(), False),
+        T.StructField("rows_in", T.LongType(), False),
+        T.StructField("rows_out", T.LongType(), False),
+        T.StructField("rule_hits", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("started_at", T.TimestampType(), True),
+        T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+# Golden labels emitted by the frozen reference labeler (FIXTURES.md §4).
+REFERENCE_LABELS = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("content_sha256", T.StringType(), True),
+        T.StructField("keep", T.BooleanType(), False),
+        T.StructField("scrubbed_sha256", T.StringType(), True),
+        T.StructField("reasons", T.ArrayType(T.StringType(), False), False),
+    ]
+)

@@ -1,0 +1,1 @@
+from .patterns import SCRUB_PATTERNS, scrub_text, scrub_series  # noqa: F401

@@ -1,0 +1,105 @@
+"""PII/secret scrub — the single source of truth for byte-identical output.
+
+The reference mutates row text via a pandas UDF chain (spelling
+correction + case standardization, reference
+``spark-container/spark/jobs/cleansing.py:107-122``); this module is the
+rebuild's analog: an ordered, compiled-regex pass over file content that
+replaces emails, cloud keys, generic API tokens, private-key blocks and
+IPv4 addresses with stable placeholder tags.
+
+BYTE-IDENTICALITY CONTRACT (BASELINE.json: per-row invariant is
+``sha256(scrubbed_content)`` equality vs reference labels): the frozen
+reference labeler (``reference_impl/labeler.py``) and the Spark pandas
+UDF (``scrub/scrubber.py``) both call :func:`scrub_text` /
+:func:`scrub_series` from THIS module, so application order, overlap
+resolution (leftmost, earlier-pattern-wins via sequential passes) and
+unicode handling are specified exactly once.
+
+Patterns use only constructs portable between Python ``re`` and RE2-
+style engines so the DuckDB oracle (`__spark_entry__.oracle_sql`) can
+reproduce them: no backreferences, no lookaround.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+# Ordered list of (rule_name, pattern, replacement). Order matters and is
+# part of the spec: patterns are applied sequentially, each as a global
+# leftmost substitution over the output of the previous one. AWS keys are
+# scrubbed before generic tokens so `aws_key = AKIA...` yields <AWS_KEY>
+# rather than <SECRET>.
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "aws_key",
+        r"AKIA[0-9A-Z]{16}",
+        "<AWS_KEY>",
+    ),
+    (
+        "private_key_block",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\s]*-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    (
+        # api_key = "abcd1234...", secret: 'xyz...', token=deadbeef...
+        # Group 1 (the key name + separator) is preserved; the value is
+        # replaced. \x22 = double quote, \x27 = single quote (avoids
+        # quote-escaping divergence between engines).
+        "api_token",
+        r"((?:api[_-]?key|apikey|secret|token|passwd|password)[\x22\x27]?\s*[:=]\s*[\x22\x27]?)[A-Za-z0-9_\-]{16,}",
+        r"\1<SECRET>",
+    ),
+    (
+        "ipv4",
+        r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        "<IP>",
+    ),
+]
+
+_COMPILED: list[tuple[str, re.Pattern[str], str]] = [
+    (name, re.compile(pat, re.IGNORECASE if name == "api_token" else 0), repl)
+    for name, pat, repl in SCRUB_PATTERNS
+]
+
+
+def scrub_text(text: str | None) -> str | None:
+    """Scrub one string. None passes through (null-field rule handles it)."""
+    if text is None:
+        return None
+    for _, rx, repl in _COMPILED:
+        text = rx.sub(repl, text)
+    return text
+
+
+def scrub_series(s: pd.Series) -> pd.Series:
+    """Vectorized scrub over a pandas Series of strings.
+
+    ``pd.Series.str.replace(regex=True)`` runs the compiled pattern over
+    the whole Arrow batch inside pandas' C string loop — no per-row
+    Python callback (the north_rule forbids the reference's
+    ``series.apply(lambda …)`` shape, cf. ``cleansing.py:115``).
+    """
+    out = s
+    for _, rx, repl in _COMPILED:
+        out = out.str.replace(rx, repl, regex=True)
+    return out
+
+
+def scrub_hits(text: str | None) -> dict[str, int]:
+    """Per-rule match counts for one string (lineage/testing helper)."""
+    if text is None:
+        return {}
+    hits: dict[str, int] = {}
+    for name, rx, repl in _COMPILED:
+        n = len(rx.findall(text))
+        if n:
+            hits[name] = n
+        text = rx.sub(repl, text)
+    return hits

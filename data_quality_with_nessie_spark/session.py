@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference hardcodes ``master('local[*]')`` and leaves every shuffle
+knob at default (reference ``spark-container/modules/
+SparkIcebergNessieMinIO/spark_setup.py:14-59``). Here the session is
+parameterized so the same code runs on ``local[N]`` for tests/bench and
+on a real cluster via ``spark-submit --py-files`` (north_rule), with
+explicit shuffle-partition tuning, AQE (incl. skew-join handling), and
+Arrow enabled for the pandas-UDF hot path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_quality_with_nessie_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master=None`` defers to spark-submit / the environment — the
+    cluster-deploy path. Tests pass ``local[N]`` explicitly.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        # local mode: ~cores; cluster: spark-submit should override.
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        shuffle_partitions = max(8, cpus)
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # large Arrow batches amortize Python invocation overhead in the
+        # vectorized scorers; content rows are ~KB so 10k rows ≈ tens of MB.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.ui.enabled": "false",
+        "spark.sql.files.maxPartitionBytes": "134217728",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,54 @@
+"""Skew handling + partition-unit assignment (north_rule requirement).
+
+The reference leaves all shuffle behavior at defaults (reference
+``spark-container/modules/SparkIcebergNessieMinIO/spark_setup.py:14-59``
+— no partition/shuffle config anywhere). At 10^12-file scale a giant
+monorepo is a hot key: hashing on ``repo`` alone would put ~30% of rows
+in one task. We salt the repo key with per-file entropy before
+bucketing, so every repo — however large — spreads uniformly across
+buckets, while the bucket id stays a pure function of the row
+(deterministic → safe for resume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+# cap on files per task: pick bucket count from input size so that one
+# bucket ≈ one task's worth of files.
+MAX_FILES_PER_TASK = 50_000
+
+
+def salted_bucket(n_buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Deterministic bucket id with repo-key salting.
+
+    ``xxhash64(repo, path, commit)`` == hashing the repo key salted by
+    per-file entropy: rows of the same repo scatter uniformly instead of
+    landing in one shuffle partition.
+    """
+    return F.pmod(
+        F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def choose_bucket_count(approx_rows: int, n_buckets_min: int = DEFAULT_BUCKETS) -> int:
+    """Bucket count that caps files-per-task at MAX_FILES_PER_TASK."""
+    need = max(1, (approx_rows + MAX_FILES_PER_TASK - 1) // MAX_FILES_PER_TASK)
+    return max(n_buckets_min, need)
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return df.withColumn("bucket", salted_bucket(n_buckets))
+
+
+def repartition_by_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Co-locate each bucket in one task.
+
+    One shuffle, keyed on the salted bucket — balanced by construction,
+    so the downstream Arrow-batched scorer UDFs see even task sizes and
+    the per-bucket output files land in single writers.
+    """
+    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(min(n_buckets, max(shuffle_parts, 1)), "bucket")

@@ -1,0 +1,54 @@
+"""Frozen reference labeler — single-process pandas, no Spark.
+
+Produces the golden labels the Spark pipeline is scored against
+(BASELINE.json metric: keep/drop F1 ≥ 0.99 + scrubbed-content sha256
+equality). Plays the role the reference's SodaCL gates play as de-facto
+acceptance tests (reference ``spark-container/soda/tables/
+silver_amazon_orders.yaml:1-63``): an independent, authoritative
+definition of pass/fail per row.
+
+It shares the RULE DEFINITIONS (thresholds, regexes, model weights)
+with the Spark pipeline via ``data_quality_with_nessie_spark.rules`` and
+``.scrub`` — application order and unicode handling are specified once
+(SURVEY.md §7.4 byte-identicality requirement).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from data_quality_with_nessie_spark.rules.registry import RULES
+from data_quality_with_nessie_spark.scrub.patterns import scrub_series
+
+
+def _sha256_series(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda x: hashlib.sha256(x.encode("utf-8")).hexdigest() if isinstance(x, str) else None
+    )
+
+
+def label_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Label an input frame ``(repo,path,commit,lang,content)``.
+
+    Returns FIXTURES.md §4 columns: join keys, content_sha256, keep,
+    scrubbed_sha256 (kept rows only), reasons (sorted fired rule ids).
+    """
+    fired: dict[str, pd.Series] = {
+        rule.name: rule.pandas(pdf).fillna(False).astype(bool) for rule in RULES
+    }
+    names = sorted(fired)
+    keep = ~pd.concat(fired.values(), axis=1).any(axis=1)
+
+    reasons = [
+        [n for n in names if fired[n].iat[i]] for i in range(len(pdf))
+    ]
+
+    scrubbed = scrub_series(pdf["content"])
+    out = pdf[["repo", "path", "commit"]].copy()
+    out["content_sha256"] = _sha256_series(pdf["content"])
+    out["keep"] = keep.to_numpy()
+    out["scrubbed_sha256"] = _sha256_series(scrubbed).where(keep)
+    out["reasons"] = reasons
+    return out

@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_quality_with_nessie_spark.fixtures import generate_source_files, input_columns
+from data_quality_with_nessie_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="dq-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def fixture_pdf() -> pd.DataFrame:
+    """Seeded fixture table WITH the ``planted`` ground-truth column."""
+    return generate_source_files(2000, seed=42)
+
+
+@pytest.fixture(scope="session")
+def input_pdf(fixture_pdf) -> pd.DataFrame:
+    return input_columns(fixture_pdf)
+
+
+@pytest.fixture(scope="session")
+def golden_labels(input_pdf) -> pd.DataFrame:
+    from reference_impl.labeler import label_frame
+
+    return label_frame(input_pdf)

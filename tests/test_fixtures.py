@@ -1,0 +1,60 @@
+"""Fixture ground-truth sanity: every planted condition fires its rule
+(the rebuild analog of the reference's corrupted-twin validation,
+``data/original_dataset/sampler.py:49-76``)."""
+
+import pandas as pd
+
+from data_quality_with_nessie_spark.fixtures import generate_source_files
+
+_EXPECT_RULE = {
+    "line_length": "line_length",
+    "alnum_ratio": "alnum_ratio",
+    "autogen": "autogen",
+    "dup_lines": "dup_lines",
+    "langid": "langid",
+    "perplexity": "perplexity",
+    "null_field": "null_field",
+}
+
+
+def test_determinism():
+    a = generate_source_files(300, seed=42)
+    b = generate_source_files(300, seed=42)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_skew_repo_present(fixture_pdf):
+    share = (fixture_pdf["repo"] == "bigorg/monorepo").mean()
+    assert 0.2 < share < 0.4
+
+
+def test_planted_conditions_fire_their_rule(fixture_pdf, golden_labels):
+    df = fixture_pdf.assign(
+        reasons=golden_labels["reasons"].values, keep=golden_labels["keep"].values
+    )
+    for cond, grp in df.groupby("planted"):
+        if cond in ("clean", "pii"):
+            assert grp["keep"].all(), f"{cond}: expected all kept"
+        else:
+            rule = _EXPECT_RULE[cond]
+            hit = grp["reasons"].map(lambda rs: rule in rs)
+            assert hit.all(), f"{cond}: rule {rule} missed {int((~hit).sum())} rows"
+
+
+def test_pii_rows_actually_scrubbed(fixture_pdf):
+    from data_quality_with_nessie_spark.scrub.patterns import scrub_series
+
+    pii = fixture_pdf[fixture_pdf["planted"] == "pii"]["content"]
+    scrubbed = scrub_series(pii)
+    assert (scrubbed != pii).all()
+
+
+def test_keep_rate_near_spec(golden_labels):
+    # FIXTURES.md §2: expected keep-rate ≈ 0.72
+    assert 0.65 <= golden_labels["keep"].mean() <= 0.85
+
+
+def test_second_commit_rows_exist(fixture_pdf):
+    dup_paths = fixture_pdf.groupby(["repo", "path"]).size()
+    assert (dup_paths == 2).sum() > 10
+    assert fixture_pdf[["repo", "path", "commit"]].duplicated().sum() == 0

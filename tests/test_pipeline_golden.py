@@ -1,0 +1,111 @@
+"""Golden-label gate: the Spark pipeline vs the frozen reference labeler.
+
+BASELINE.json metric: keep/drop F1 ≥ 0.99 and scrubbed-content sha256
+equality on kept rows. By sharing rule definitions the two
+implementations should agree exactly; the assertions still use the
+contractual thresholds.
+"""
+
+import pandas as pd
+import pytest
+
+from data_quality_with_nessie_spark.catalog import LocalCatalog
+from data_quality_with_nessie_spark.pipeline import run
+from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs(spark, input_pdf, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("catalog"))
+    cat = LocalCatalog(root)
+    sdf = spark.createDataFrame(input_pdf, schema=SOURCE_FILES)
+    summary = run(spark, sdf, cat, n_buckets=16)
+    kept = cat.read_table(spark, "kept").toPandas()
+    quar = cat.read_table(spark, "quarantine").toPandas()
+    metrics = cat.metrics_df(spark).toPandas()
+    return summary, kept, quar, metrics
+
+
+KEYS = ["repo", "path", "commit"]
+
+
+def _f1(y_true: pd.Series, y_pred: pd.Series) -> float:
+    tp = int((y_true & y_pred).sum())
+    fp = int((~y_true & y_pred).sum())
+    fn = int((y_true & ~y_pred).sum())
+    if tp == 0:
+        return 0.0
+    p = tp / (tp + fp)
+    r = tp / (tp + fn)
+    return 2 * p * r / (p + r)
+
+
+def test_no_rows_lost(pipeline_outputs, input_pdf):
+    _, kept, quar, _ = pipeline_outputs
+    assert len(kept) + len(quar) == len(input_pdf)
+
+
+def test_keep_f1_vs_golden(pipeline_outputs, golden_labels):
+    _, kept, quar, _ = pipeline_outputs
+    spark_keep = pd.concat(
+        [
+            pd.Series(True, index=pd.MultiIndex.from_frame(kept[KEYS])),
+            pd.Series(False, index=pd.MultiIndex.from_frame(quar[KEYS])),
+        ]
+    )
+    lab = golden_labels.set_index(KEYS)
+    merged = lab.join(spark_keep.rename("spark_keep"), how="inner")
+    assert len(merged) == len(golden_labels)
+    assert _f1(merged["keep"], merged["spark_keep"]) >= 0.99
+    # with shared rule definitions the agreement is in fact exact
+    assert (merged["keep"] == merged["spark_keep"]).all()
+
+
+def test_scrubbed_sha256_equality(pipeline_outputs, golden_labels):
+    _, kept, _, _ = pipeline_outputs
+    lab = golden_labels.set_index(KEYS)
+    k = kept.set_index(KEYS)
+    joined = lab[lab["keep"]].join(
+        k[["scrubbed_sha256", "content_sha256"]].rename(
+            columns={"scrubbed_sha256": "spark_scrub", "content_sha256": "spark_content"}
+        ),
+        how="inner",
+    )
+    assert len(joined) == int(lab["keep"].sum())
+    assert (joined["scrubbed_sha256"] == joined["spark_scrub"]).all()
+    # per-row invariant vs reference: content sha256 equality
+    assert (joined["content_sha256"] == joined["spark_content"]).all()
+
+
+def test_rejection_reasons_match_golden(pipeline_outputs, golden_labels):
+    _, _, quar, _ = pipeline_outputs
+    lab = golden_labels.set_index(KEYS)
+    q = quar.set_index(KEYS)
+    joined = lab[~lab["keep"]].join(q[["rejection_reasons"]], how="inner")
+    assert len(joined) == int((~lab["keep"]).sum())
+    got = joined["rejection_reasons"].map(list)
+    assert (got == joined["reasons"]).all()
+
+
+def test_metrics_lineage(pipeline_outputs, golden_labels):
+    summary, kept, quar, metrics = pipeline_outputs
+    assert metrics["rows_in"].sum() == len(kept) + len(quar)
+    assert metrics["rows_out"].sum() == len(kept)
+    assert summary["rows_out"] == len(kept)
+    assert set(metrics["bucket"]) == set(range(16))
+    # rule hit counts reconcile with golden reasons
+    from collections import Counter
+
+    want = Counter(r for rs in golden_labels["reasons"] for r in rs)
+    got: Counter = Counter()
+    for hits in metrics["rule_hits"]:
+        for name, n in dict(hits).items():
+            got[name] += n
+    assert {k: v for k, v in got.items() if v} == dict(want)
+
+
+def test_keep_rate_completeness_gate(pipeline_outputs, input_pdf):
+    # global analog of the reference's completeness ratio ≥ 0.70 gate
+    # (silver_amazon_orders.yaml:46-63)
+    _, kept, _, _ = pipeline_outputs
+    assert len(kept) / len(input_pdf) >= 0.70

@@ -1,0 +1,83 @@
+"""Checkpoint/resume semantics: kill-and-rerun never duplicates rows and
+resumes from the last committed partition (the reference's NOT-IN
+re-ingest dedup, ``ingest.py:70-83``, as the resume primitive)."""
+
+import os
+import shutil
+
+import pytest
+
+from data_quality_with_nessie_spark.catalog import KEPT, LocalCatalog
+from data_quality_with_nessie_spark.pipeline import run
+from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def sdf(spark, input_pdf):
+    return spark.createDataFrame(input_pdf, schema=SOURCE_FILES)
+
+
+def test_rerun_is_noop(spark, sdf, tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    first = run(spark, sdf, cat, n_buckets=N_BUCKETS)
+    assert len(first["buckets_processed"]) == N_BUCKETS
+    n_kept = cat.read_table(spark, "kept").count()
+
+    second = run(spark, sdf, cat, n_buckets=N_BUCKETS)
+    assert second["buckets_processed"] == []
+    assert second["buckets_skipped"] == sorted(first["buckets_processed"])
+    assert cat.read_table(spark, "kept").count() == n_kept
+    # exactly one lineage row per bucket — no duplicate commits
+    metrics = cat.metrics_df(spark).toPandas()
+    assert metrics["bucket"].value_counts().max() == 1
+
+
+def test_resume_after_partial_commit(spark, sdf, input_pdf, tmp_path):
+    """Simulate a crash after 3 of 8 buckets committed."""
+    full = LocalCatalog(str(tmp_path / "full"))
+    run(spark, sdf, full, n_buckets=N_BUCKETS)
+    expect_kept = full.read_table(spark, "kept").count()
+
+    part = LocalCatalog(str(tmp_path / "part"))
+    # commit only buckets 0-2 by copying from the full run, then "crash"
+    for b in range(3):
+        src = os.path.join(str(tmp_path / "full"), KEPT, f"bucket={b}")
+        if os.path.exists(src):
+            shutil.copytree(src, os.path.join(str(tmp_path / "part"), KEPT, f"bucket={b}"))
+    for f in os.listdir(os.path.join(str(tmp_path / "full"), "metrics")):
+        if any(f.endswith(f"bucket-{b}.parquet") for b in range(3)):
+            shutil.copy(
+                os.path.join(str(tmp_path / "full"), "metrics", f),
+                os.path.join(str(tmp_path / "part"), "metrics", f),
+            )
+
+    resumed = run(spark, sdf, part, n_buckets=N_BUCKETS)
+    assert resumed["buckets_skipped"] == [0, 1, 2]
+    assert sorted(resumed["buckets_processed"]) == list(range(3, N_BUCKETS))
+    # full output restored, no duplicates
+    kept = part.read_table(spark, "kept")
+    assert kept.count() == expect_kept
+    keys = kept.select("repo", "path", "commit")
+    assert keys.distinct().count() == keys.count()
+    metrics = part.metrics_df(spark).toPandas()
+    assert metrics["bucket"].value_counts().max() == 1
+
+
+def test_rollback_uncommitted_staged_bucket(spark, sdf, tmp_path):
+    """A final bucket dir without a lineage row is rolled back and
+    reprocessed (crash between rename and metrics append)."""
+    cat = LocalCatalog(str(tmp_path))
+    run(spark, sdf, cat, n_buckets=N_BUCKETS)
+    metrics_dir = os.path.join(str(tmp_path), "metrics")
+    # delete bucket 5's lineage row → it becomes "staged but uncommitted"
+    removed = [f for f in os.listdir(metrics_dir) if f.endswith("bucket-5.parquet")]
+    assert removed
+    for f in removed:
+        os.remove(os.path.join(metrics_dir, f))
+
+    before = cat.read_table(spark, "kept").count()
+    again = run(spark, sdf, cat, n_buckets=N_BUCKETS)
+    assert again["buckets_processed"] == [5]
+    assert cat.read_table(spark, "kept").count() == before

@@ -1,0 +1,57 @@
+"""Scorer determinism + batch-composition stability.
+
+The scorers use a cumulative-sum segment reduction, so a document's
+score is computed from the same trigram weights regardless of which
+other documents share its Arrow batch; these tests pin that down
+(it is what makes local[8] vs local[32] produce identical labels).
+"""
+
+import numpy as np
+import pandas as pd
+
+from data_quality_with_nessie_spark.rules import scoring
+from data_quality_with_nessie_spark.rules.corpus import TRAINING_CORPUS
+
+
+def test_langid_identifies_training_languages():
+    s = pd.Series(list(TRAINING_CORPUS.values()))
+    sc = scoring.langid_scores(s)
+    assert list(sc["pred"]) == list(TRAINING_CORPUS)
+
+
+def test_batch_composition_invariance(input_pdf):
+    contents = input_pdf["content"].head(400).reset_index(drop=True)
+    langs = input_pdf["lang"].head(400).reset_index(drop=True)
+    whole_l = scoring.langid_reject(contents, langs)
+    whole_p = scoring.perplexity_bits(contents)
+    # same rows scored in shuffled order / small chunks must agree
+    order = np.random.default_rng(0).permutation(len(contents))
+    for chunk in np.array_split(order, 7):
+        part_l = scoring.langid_reject(
+            contents.iloc[chunk].reset_index(drop=True),
+            langs.iloc[chunk].reset_index(drop=True),
+        )
+        assert part_l.tolist() == whole_l.iloc[chunk].tolist()
+        part_p = scoring.perplexity_bits(contents.iloc[chunk].reset_index(drop=True))
+        np.testing.assert_allclose(
+            part_p.to_numpy(), whole_p.iloc[chunk].to_numpy(), rtol=0, atol=1e-9
+        )
+
+
+def test_empty_and_null_content_neutral():
+    s = pd.Series([None, "", "ab"])
+    assert scoring.perplexity_reject(s).tolist() == [False, False, False]
+    assert scoring.langid_reject(s, pd.Series(["python"] * 3)).tolist() == [False] * 3
+
+
+def test_unknown_lang_never_fires():
+    prose = pd.Series([TRAINING_CORPUS["text"]] * 2)
+    claimed = pd.Series(["unknown", "cobol"])
+    assert scoring.langid_reject(prose, claimed).tolist() == [False, False]
+
+
+def test_gibberish_flagged_clean_not():
+    rng = np.random.default_rng(1)
+    gib = "".join(rng.choice(list("qxzjkvwfbghy qxzjk"), size=600))
+    s = pd.Series([gib, TRAINING_CORPUS["python"]])
+    assert scoring.perplexity_reject(s).tolist() == [True, False]
