@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship quality-filter pipeline on the
+sf0.001 ``documents`` table mapped into the engine's
+``(repo,path,commit,lang,content)`` input shape.
+
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus
+the training-data-pipeline operators (dedup / similarity / text
+analysis); ``oracle_sql()`` gives the DuckDB-runnable twin for each —
+aliases match column-for-column.
 """
 
 from __future__ import annotations
@@ -12,27 +15,505 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_with_nessie_spark.operators import (
+    dedup as D,
+    events as E,
+    relational as R,
+    similarity as S,
+    text as T,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _documents_as_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the documents table into the engine's input shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.lit("text").alias("lang"),
+        F.col("text").alias("content"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter classification (rules + scorers +
+    scrub) over sf0.001 documents; driver checks rows>0 + stable schema."""
+    from data_quality_with_nessie_spark.pipeline import classify
+
+    src = _documents_as_source_files(spark, SF0001)
+    out = classify(src, n_buckets=8)
+    return out.select(
+        "repo",
+        "path",
+        "commit",
+        "keep",
+        F.concat_ws(",", "rejection_reasons").alias("reasons"),
+        "content_sha256",
+        "scrubbed_sha256",
+    )
+
+
+def _quality_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: model-scorer rules are not SQL-expressible."""
+    from data_quality_with_nessie_spark.pipeline import classify
+
+    src = _documents_as_source_files(spark, sf_dir)
+    out = classify(src, n_buckets=8)
+    return (
+        out.groupBy("keep", F.concat_ws(",", "rejection_reasons").alias("reasons"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- SURVEY.md §2 relational surface ---
+        "pricing_summary": R.pricing_summary,
+        "last_batch_view": R.last_batch_view,
+        "ingest_dedup_anti_join": R.ingest_dedup_anti_join,
+        "incremental_dim_anti_join": R.incremental_dim_anti_join,
+        "star_join_revenue": R.star_join_revenue,
+        "referential_integrity": R.referential_integrity,
+        "completeness_ratio": R.completeness_ratio,
+        "cleansing_filter": R.cleansing_filter,
+        "dedup_composite": R.dedup_composite,
+        "dim_extraction": R.dim_extraction,
+        "surrogate_keys": R.surrogate_keys,
+        "season_bucketing": R.season_bucketing,
+        "missing_percent": R.missing_percent,
+        "duplicate_count": R.duplicate_count,
+        "min_domain_check": R.min_domain_check,
+        "invalid_percent": R.invalid_percent,
+        "row_count_gate": R.row_count_gate,
+        # --- training-data ops: dedup ---
+        "exact_dedup": D.exact_dedup,
+        "minhash_signatures": D.minhash_signatures,
+        "lsh_candidate_pairs": D.lsh_candidate_pairs,
+        "ngram_jaccard_topk": D.ngram_jaccard_topk,
+        "simhash16": D.simhash16,
+        # --- similarity search ---
+        "cosine_topk": S.cosine_topk,
+        "signhash_buckets": S.signhash_buckets,
+        "bucketed_ann_topk": S.bucketed_ann_topk,
+        "centroid_by_label": S.centroid_by_label,
+        # --- text analysis ---
+        "token_stats": T.token_stats,
+        "quality_score": T.quality_score,
+        "langid_stopword": T.langid_stopword,
+        "doc_fingerprint": T.doc_fingerprint,
+        "quality_filter_documents": T.quality_filter_documents,
+        # --- events / windowed analytics ---
+        "sessionize": E.sessionize,
+        "topk_per_group": E.topk_per_group,
+        "pivot_event_counts": E.pivot_event_counts,
+        "tumbling_window_agg": E.tumbling_window_agg,
+        # --- full pipeline (model scorers; rows-only check) ---
+        "quality_pipeline_docs": _quality_pipeline_docs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOK = "regexp_split_to_array(lower(text), '\\s+')"
+
+_MINHASH_SIG_CTE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+), sig AS (
+  SELECT doc_id, band, min(md5(band::VARCHAR || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS band) bands
+  GROUP BY doc_id, band
+)
+"""
+
+_COSINE_SCORED_CTE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(
+           list_dot_product(qe, e.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(qe, qe)) *
+            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+           6
+         ) AS cos_sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != query_id
+)
+"""
+
+_BUCKET_EXPR = (
+    "(CASE WHEN embedding[1]::DOUBLE - embedding[33]::DOUBLE >= 0 THEN '1' ELSE '0' END) || "
+    "(CASE WHEN embedding[2]::DOUBLE - embedding[34]::DOUBLE >= 0 THEN '1' ELSE '0' END) || "
+    "(CASE WHEN embedding[3]::DOUBLE - embedding[35]::DOUBLE >= 0 THEN '1' ELSE '0' END) || "
+    "(CASE WHEN embedding[4]::DOUBLE - embedding[36]::DOUBLE >= 0 THEN '1' ELSE '0' END)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "last_batch_view": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+            FROM orders
+            WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+        """,
+        "ingest_dedup_anti_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_orderkey NOT IN (
+                SELECT l_orderkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            )
+        """,
+        "incremental_dim_anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "star_join_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            LEFT JOIN orders   ON l_orderkey = o_orderkey
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation   ON c_nationkey = n_nationkey
+            LEFT JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "referential_integrity": """
+            SELECT count(*) AS orphan_count
+            FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        "completeness_ratio": """
+            WITH s AS (
+                SELECT count(*) AS silver_count FROM lineitem
+                WHERE l_quantity > 0 AND l_extendedprice > 0
+            ), b AS (
+                SELECT count(*) AS bronze_count FROM lineitem
+            )
+            SELECT silver_count, bronze_count,
+                   round(silver_count::DOUBLE / bronze_count, 4) AS data_completeness
+            FROM s, b
+        """,
+        "cleansing_filter": """
+            SELECT o_orderkey,
+                   upper(o_orderstatus) AS o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   lower(coalesce(o_orderpriority, 'INVALID_VALUE')) AS o_orderpriority
+            FROM orders
+            WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+              AND o_orderdate IS NOT NULL AND o_totalprice > 0
+              AND upper(o_orderstatus) IN ('O', 'F', 'P')
+        """,
+        "dedup_composite": """
+            SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus, l_shipdate
+            FROM lineitem
+        """,
+        "dim_extraction": """
+            SELECT o_orderstatus, o_orderpriority,
+                   min(o_orderdate) AS first_seen, count(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        """,
+        "surrogate_keys": """
+            SELECT row_number() OVER (ORDER BY n_name) AS surrogate_id, n_name, n_nationkey
+            FROM nation
+        """,
+        "season_bucketing": """
+            SELECT year(o_orderdate)::BIGINT AS order_year,
+                   CASE WHEN month(o_orderdate) IN (12, 1, 2) THEN 'Winter'
+                        WHEN month(o_orderdate) IN (3, 4, 5) THEN 'Spring'
+                        WHEN month(o_orderdate) IN (6, 7, 8) THEN 'Summer'
+                        ELSE 'Autumn' END AS season,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "missing_percent": """
+            SELECT count(*) AS row_count,
+                   round(avg(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END) * 100, 4) AS missing_pct_user_id,
+                   round(avg(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END) * 100, 4) AS missing_pct_event_type,
+                   round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) * 100, 4) AS missing_pct_value,
+                   round(avg(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END) * 100, 4) AS missing_pct_props
+            FROM events
+        """,
+        "duplicate_count": """
+            WITH d AS (
+                SELECT l_orderkey, l_partkey, l_suppkey, count(*) AS n
+                FROM lineitem GROUP BY 1, 2, 3 HAVING count(*) > 1
+            )
+            SELECT count(*) AS duplicate_keys,
+                   coalesce(sum(n - 1), 0)::BIGINT AS surplus_rows
+            FROM d
+        """,
+        "min_domain_check": """
+            SELECT round(min(l_quantity), 4) AS min_qty,
+                   round(min(l_extendedprice), 4) AS min_price,
+                   sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT AS nonpositive_qty_rows
+            FROM lineitem
+        """,
+        "invalid_percent": """
+            SELECT round(avg(CASE WHEN props IS NOT NULL
+                                   AND NOT regexp_full_match(props, '\\{"k": [0-9]+\\}')
+                              THEN 1.0 ELSE 0.0 END) * 100, 4) AS invalid_pct_props,
+                   count(*) AS row_count
+            FROM events
+        """,
+        "row_count_gate": """
+            SELECT event_type, count(*) AS row_count, count(*) > 0 AS gate_passed
+            FROM events GROUP BY event_type
+        """,
+        # --- dedup ---
+        "exact_dedup": """
+            SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_signatures": _MINHASH_SIG_CTE
+        + "SELECT doc_id, band, minhash FROM sig",
+        "lsh_candidate_pairs": _MINHASH_SIG_CTE
+        + """
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard_topk": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), tk AS (
+                SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t
+            ), tok AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS w
+                FROM tk a
+                JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            ORDER BY jaccard DESC, doc_a, doc_b
+            LIMIT 20
+        """,
+        "simhash16": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(toks) AS w FROM t
+            ), votes AS (
+                SELECT doc_id, p,
+                       CASE WHEN substr(md5(w), p::INT, 1)
+                                 IN ('8','9','a','b','c','d','e','f')
+                            THEN 1 ELSE -1 END AS v
+                FROM tok CROSS JOIN (SELECT unnest(range(1, 17)) AS p) ps
+            ), bits AS (
+                SELECT doc_id, p,
+                       CASE WHEN sum(v) >= 0 THEN '1' ELSE '0' END AS bit
+                FROM votes GROUP BY doc_id, p
+            )
+            SELECT doc_id, string_agg(bit, '' ORDER BY p) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        # --- similarity ---
+        "cosine_topk": _COSINE_SCORED_CTE
+        + """
+            , ranked AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 10
+        """,
+        "signhash_buckets": f"""
+            SELECT vec_id, label, {_BUCKET_EXPR} AS bucket FROM embeddings
+        """,
+        "bucketed_ann_topk": f"""
+            WITH b AS (
+                SELECT vec_id, embedding, {_BUCKET_EXPR} AS bucket FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, bucket
+                FROM b WHERE vec_id < 5
+            ), scored AS (
+                SELECT query_id, e.vec_id AS neighbor_id,
+                       round(
+                         list_dot_product(qe, e.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(qe, qe)) *
+                          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                         6
+                       ) AS cos_sim
+                FROM q JOIN b e ON e.bucket = q.bucket
+                WHERE e.vec_id != query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 10
+        """,
+        "centroid_by_label": """
+            WITH s AS (
+                SELECT label, pos, avg(v::DOUBLE) AS c
+                FROM (
+                    SELECT label, unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS pos
+                    FROM embeddings
+                )
+                GROUP BY label, pos
+            )
+            SELECT label, count(*) AS dims,
+                   round(sqrt(sum(c * c)), 6) AS centroid_norm
+            FROM s GROUP BY label
+        """,
+        # --- text analysis ---
+        "token_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({_TOK}) AS n_tokens,
+                   len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9]+'), x -> x != ''))
+                   + len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x != ''))
+                     AS n_pieces,
+                   round(length(text)::DOUBLE / len({_TOK}), 4) AS chars_per_token
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, lang, text, {_TOK} AS toks FROM documents)
+            SELECT doc_id, lang,
+                   length(text) AS n_chars,
+                   len(toks) AS n_tokens,
+                   round(len(list_filter(toks, x -> x IN
+                       ('the','a','and','of','to','in','is','for')))::DOUBLE / len(toks), 6)
+                     AS stopword_ratio,
+                   round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS distinct_token_ratio,
+                   (length(text) >= 30 AND
+                    len(list_distinct(toks))::DOUBLE / len(toks) > 0.1) AS passes_quality
+            FROM t
+        """,
+        "langid_stopword": f"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(list_filter({_TOK}, x -> x IN
+                           ('the','a','and','of','to','in','is','for'))) AS hits_en,
+                       len(list_filter({_TOK}, x -> x IN
+                           ('der','die','das','und','ist','nicht','ein','zu'))) AS hits_de,
+                       len(list_filter({_TOK}, x -> x IN
+                           ('le','la','et','les','des','est','un','une'))) AS hits_fr
+                FROM documents
+            )
+            SELECT doc_id, lang, hits_en, hits_de, hits_fr,
+                   CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+                        WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+                        WHEN hits_fr > 0 THEN 'fr'
+                        ELSE 'unknown' END AS pred_lang,
+                   (CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+                         WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+                         WHEN hits_fr > 0 THEN 'fr'
+                         ELSE 'unknown' END) = lang AS agrees_with_label
+            FROM t
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   sha256(text) AS content_sha256
+            FROM documents
+        """,
+        "quality_filter_documents": f"""
+            WITH d AS (
+                SELECT doc_id, text, {_TOK} AS toks, length(text) AS n FROM documents
+            ), r AS (
+                SELECT doc_id, text, toks, n,
+                       (text IS NULL OR n < 30) AS r_short,
+                       (NOT (text IS NULL OR n < 30)) AND
+                         (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / n < 0.5)
+                         AS r_alnum,
+                       (NOT (text IS NULL OR n < 30)) AND
+                         (len(list_distinct(toks))::DOUBLE / len(toks) <= 0.1) AS r_dup
+                FROM d
+            )
+            SELECT doc_id,
+                   NOT (r_short OR r_alnum OR r_dup) AS keep,
+                   coalesce(array_to_string(list_sort(list_filter([
+                       CASE WHEN r_short THEN 'too_short' END,
+                       CASE WHEN r_alnum THEN 'alnum_ratio' END,
+                       CASE WHEN r_dup THEN 'dup_tokens' END
+                   ], x -> x IS NOT NULL)), ','), '') AS reasons,
+                   sha256(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                       '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g')
+                   ) AS scrubbed_sha256
+            FROM r
+        """,
+        # --- events ---
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                              OR date_diff('second',
+                                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                   ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            )
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+            FROM e GROUP BY user_id
+        """,
+        "topk_per_group": """
+            SELECT event_type, rnk, event_id, round(value, 6) AS value
+            FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id) AS rnk
+                FROM events
+            )
+            WHERE rnk <= 3
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "tumbling_window_agg": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        # quality_pipeline_docs: intentionally no oracle (trigram-model
+        # scorers are not SQL-expressible) → driver rows-only check.
+    }

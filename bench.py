@@ -1,0 +1,85 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced through a full materialization with the `noop`
+writer (count() would let Catalyst prune every column and undercount
+the real work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from data_quality_with_nessie_spark.session import get_spark
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    names = [
+        # relational core
+        "pricing_summary",
+        "star_join_revenue",
+        "ingest_dedup_anti_join",
+        "dedup_composite",
+        "sessionize",
+        "tumbling_window_agg",
+        # training-data ops
+        "exact_dedup",
+        "minhash_signatures",
+        "ngram_jaccard_topk",
+        "simhash16",
+        "cosine_topk",
+        "quality_filter_documents",
+        # the full pipeline (scorer UDFs + scrub)
+        "quality_pipeline_docs",
+    ]
+    queries = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        _materialize(df)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    # warm the JVM/Arrow path once on the smallest table
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    t0 = time.perf_counter()
+    per_query = bench_queries(spark, sf_dir)
+    total = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

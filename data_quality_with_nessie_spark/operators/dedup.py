@@ -1,0 +1,180 @@
+"""Deduplication operators over the ``documents`` table — the large-scale
+training-data analog of the reference's dedup layer (in-batch
+``drop_duplicates`` ``cleansing.py:82`` + re-ingest NOT-IN dedup
+``ingest.py:70-83``), extended with the near-dup machinery a 100 TB
+corpus pipeline needs: MinHash+LSH banding, n-gram Jaccard, SimHash.
+
+Hashing is md5-hex (identical in Spark and DuckDB) so every stage has an
+exact SQL oracle. At scale:
+* exact dedup = one shuffle on the 32-char fingerprint (not the text);
+* MinHash signatures = narrow per-row work (explode → groupBy doc,band);
+* LSH candidate pairs = equi-join on (band, minhash) — near-dups collide,
+  everything else doesn't, avoiding the O(n²) pair space;
+* pairwise Jaccard runs only on the (tiny) candidate set in the
+  production path — the exhaustive top-k variant here exists to oracle
+  the scoring math itself at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_BANDS = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(col):
+    return F.split(F.lower(col), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint group-by.
+
+    Shuffles 32-byte fingerprints, never the documents themselves —
+    at 100 TB the shuffle payload is ~fingerprint × rows, not the corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs: k-word shingles of the lowercased text."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i + 1, k)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, band) MinHash: min over shingles of md5(band ':' shingle).
+
+    A salted-hash family via the band id — the fastText-paper-style
+    "k independent hash functions" realized portably (md5 is identical
+    hex in every engine, so the oracle can reproduce it bit-for-bit).
+    """
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs)
+    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    return (
+        sh.crossJoin(F.broadcast(bands))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: doc pairs agreeing on ≥1 band's minhash.
+
+    The scale path: equi-join on (band, minhash) — no O(n²) compare.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k_pairs: int = 20) -> DataFrame:
+    """Top-k most similar doc pairs by 3-gram-shingle-set Jaccard.
+
+    Joining on SHINGLES (not tokens) keeps the pair space near-linear:
+    a shingle is shared only by genuinely similar docs, so the equi-join
+    fan-out stays tiny while a unigram join would blow up quadratically
+    on the shared vocabulary. Production composes this AFTER
+    :func:`lsh_candidate_pairs` so only candidates are scored at all.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = _shingles(docs).withColumnRenamed("shingle", "w")
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    scored = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(k_pairs)
+
+
+# ---------------------------------------------------------------------------
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-dimension SimHash over tokens, one dimension per md5 hex nibble.
+
+    Each token votes +1/-1 per dimension by whether the corresponding
+    md5 hex digit of the token is ≥ 8; the fingerprint is the sign
+    bit-string. Fully hash-portable (md5 hex), so the oracle reproduces
+    it exactly. (A 64-bit numpy variant would batch this in a pandas
+    UDF; the 16-dim form keeps it native + oracle-checkable.)
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w")).withColumn(
+        "h", F.md5(F.col("w"))
+    )
+    pos = spark.range(1, 17).select(F.col("id").cast("int").alias("p"))
+    votes = tok.crossJoin(F.broadcast(pos)).select(
+        "doc_id",
+        "p",
+        F.when(
+            F.substring(F.col("h"), F.col("p"), F.lit(1)).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("v"),
+    )
+    bits = votes.groupBy("doc_id", "p").agg(
+        F.when(F.sum("v") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(F.struct("p", "bit"))), lambda s: s["bit"])
+        ).alias("simhash")
+    )

@@ -1,0 +1,91 @@
+"""Analytic operators over the ``events`` table: sessionization, top-k per
+group, pivot, tumbling-window aggregation.
+
+The reference has no streaming layer (its "stream" is an Airflow sensor
+polling a bucket every 5 min, ``sample_csv_discovery.py:48-56``); these
+are the batch equivalents of the windowed/stateful shapes its successor
+would need, with exact SQL oracles. The true Structured-Streaming
+versions live in ``streaming/jobs.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_MIN = 30
+TOP_K = 3
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag(ts) + cumulative sum of gap>30min.
+
+    One shuffle on user_id; the window is per-user so no global sort.
+    Ties on ts are broken by event_id to keep the cumsum deterministic.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; go through LTZ (session TZ pinned UTC) → epoch
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = with_flag.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type (rank ties → event_id)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("event_type", "rnk", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user pivot of event-type counts (explicit value list → no
+    extra distinct-values job, the scale-safe pivot form)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=types)
+    )
+    renamed = pivoted.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+    )
+    return renamed
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type (batch form of the
+    streaming windowed aggregation)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -1,0 +1,308 @@
+"""Relational operator library — the reference's query surface (SURVEY.md §2)
+re-expressed as composable DataFrame builders over the test tables.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; each has an
+ANSI-SQL oracle twin in ``__spark_entry__.oracle_sql``. Aggregate/computed
+columns are aliased identically on both sides (driver compares value hashes).
+
+Scale notes are inline: which side broadcasts, where the shuffle is, what
+prunes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# S5/A3 — last-batch view: rows at the max timestamp
+# (reference ``lakehouse-init.sql:66-98``: Ingestion_Date = MAX(...))
+# ---------------------------------------------------------------------------
+def last_batch_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # scalar-subquery max: Catalyst runs the 1-row agg first, then pushes
+    # the resulting literal filter to the scan — same shape at any scale.
+    max_date = orders.agg(F.max("o_orderdate").alias("m"))
+    return (
+        orders.join(F.broadcast(max_date), orders["o_orderdate"] == max_date["m"], "inner")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10/J2 — re-ingest dedup as an anti join
+# (reference ``ingest.py:70-83``: NOT IN subquery with date lower bound;
+# rebuilt as an explicit left_anti to avoid the null-aware-NOT-IN plan trap)
+# ---------------------------------------------------------------------------
+def ingest_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    committed = lineitem.filter(F.col("l_shipdate") >= "1997-01-01").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(committed, "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — incremental-dim anti join: only unseen keys
+# (reference dbt dims, e.g. ``currency_dim.sql:17-24``: LEFT JOIN {{this}}
+# WHERE dim.id IS NULL)
+# ---------------------------------------------------------------------------
+def incremental_dim_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    existing = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return customer.join(existing, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — fact ← dimension left equi-joins with broadcast dims
+# (reference ``models/facts/fact_amazon_orders.sql:20-48``: 5-way left join)
+# ---------------------------------------------------------------------------
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # dims are orders-of-magnitude smaller than the fact: broadcast every
+    # one — zero shuffle until the final groupBy (one shuffle on (r,n)).
+    joined = (
+        lineitem.join(F.broadcast(orders), lineitem["l_orderkey"] == orders["o_orderkey"], "left")
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left")
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left")
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "left")
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — referential-integrity check as an anti-join count
+# (reference ``silver_amazon_orders.yaml:43-44``: values in silver must
+# exist in bronze)
+# ---------------------------------------------------------------------------
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    orphans = lineitem.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("orphan_count"))
+
+
+# ---------------------------------------------------------------------------
+# J5/A13 — completeness ratio of two scalar aggregates
+# (reference ``silver_amazon_orders.yaml:46-63``: silver/bronze row ratio)
+# ---------------------------------------------------------------------------
+def completeness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    silver = lineitem.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)).agg(
+        F.count(F.lit(1)).alias("silver_count")
+    )
+    bronze = lineitem.agg(F.count(F.lit(1)).alias("bronze_count"))
+    return silver.crossJoin(bronze).select(
+        "silver_count",
+        "bronze_count",
+        F.round(F.col("silver_count") / F.col("bronze_count"), 4).alias("data_completeness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3-P8 — the cleansing transform chain on one frame
+# (reference ``cleansing.py:64-85``: dropna → range filter → fillna →
+# dedup → upper+isin domain)
+# ---------------------------------------------------------------------------
+def cleansing_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    valid_status = ["O", "F", "P"]
+    return (
+        orders.dropna(subset=["o_orderkey", "o_custkey", "o_orderdate"])
+        .filter(F.col("o_totalprice") > 0)
+        .fillna({"o_orderpriority": "INVALID_VALUE"})
+        .withColumn("o_orderstatus", F.upper(F.col("o_orderstatus")))
+        .filter(F.col("o_orderstatus").isin(valid_status))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.lower(F.col("o_orderpriority")).alias("o_orderpriority"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/A6 — composite-key dedup, expressed order-stably as DISTINCT
+# (reference ``cleansing.py:82``: drop_duplicates(4-col subset))
+# ---------------------------------------------------------------------------
+def dedup_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.select("l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate").distinct()
+
+
+# ---------------------------------------------------------------------------
+# A4 — dimension key extraction: GROUP BY keys + MIN(date)
+# (reference dbt dims, e.g. ``product_dim.sql:10-34``)
+# ---------------------------------------------------------------------------
+def dim_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.min("o_orderdate").alias("first_seen"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — surrogate-key generation
+# (reference ``macros/generate_id.sql:1-7``: ROW_NUMBER() OVER (ORDER BY
+# (SELECT NULL)) — a single-partition window, the known scale bottleneck.
+# Rebuilt with a DETERMINISTIC order so it is testable, and documented:
+# at 10^12 rows use xxhash64/monotonically_increasing_id instead.)
+# ---------------------------------------------------------------------------
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.orderBy("n_name")
+    return nation.select(
+        F.row_number().over(w).cast("long").alias("surrogate_id"), "n_name", "n_nationkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — season bucketing CASE chain
+# (reference ``date_dim.sql:36-41``)
+# ---------------------------------------------------------------------------
+def season_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    m = F.month("o_orderdate")
+    season = (
+        F.when(m.isin(12, 1, 2), "Winter")
+        .when(m.isin(3, 4, 5), "Spring")
+        .when(m.isin(6, 7, 8), "Summer")
+        .otherwise("Autumn")
+    )
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            season.alias("season"),
+            "o_totalprice",
+        )
+        .groupBy("order_year", "season")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A14 — pricing summary (flagship aggregation; TPC-H Q1 shape)
+# the reference's repeated-count/agg logging layer done in ONE pass
+# ---------------------------------------------------------------------------
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — missing_percent rules
+# (reference ``bronze_amazon_orders.yaml:12-47``: per-column null-rate
+# thresholds; computed in ONE aggregation pass, not one query per rule)
+# ---------------------------------------------------------------------------
+def missing_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value", "props"]
+    aggs = [
+        F.round(F.avg(F.when(F.col(c).isNull(), 1.0).otherwise(0.0)) * 100, 4).alias(
+            f"missing_pct_{c}"
+        )
+        for c in cols
+    ]
+    return events.agg(F.count(F.lit(1)).alias("row_count"), *aggs)
+
+
+# ---------------------------------------------------------------------------
+# A9 — duplicate_count on a composite key
+# (reference ``silver_amazon_orders.yaml:12-13``)
+# ---------------------------------------------------------------------------
+def duplicate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    dups = (
+        lineitem.groupBy("l_orderkey", "l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return dups.agg(
+        F.count(F.lit(1)).alias("duplicate_keys"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("surplus_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — domain minima gate
+# (reference ``bronze_amazon_orders.yaml:28-32``: min(Amount) < 0 etc.)
+# ---------------------------------------------------------------------------
+def min_domain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.round(F.min("l_quantity"), 4).alias("min_qty"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("nonpositive_qty_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — invalid_percent (format-validity rule)
+# (reference ``bronze_amazon_orders.yaml:34-36``: invalid date format rate)
+# ---------------------------------------------------------------------------
+def invalid_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    # props must match the declared payload format {"k": <int>}
+    well_formed = F.col("props").rlike(r'^\{"k": [0-9]+\}$')
+    invalid = F.when(F.col("props").isNotNull() & ~well_formed, 1.0).otherwise(0.0)
+    return events.agg(
+        F.round(F.avg(invalid) * 100, 4).alias("invalid_pct_props"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 + gating — non-empty batch gate per group
+# (reference ``bronze_amazon_orders.yaml:10``: row_count > 0)
+# ---------------------------------------------------------------------------
+def row_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .withColumn("gate_passed", F.col("row_count") > 0)
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the scale path (candidates from sign-hash buckets only).
+All arithmetic is cast to double BEFORE any accumulation and the
+reported score is rounded, so the DuckDB oracle agrees despite
+engine-level summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors for the first N_QUERIES vectors.
+
+    Brute force = one broadcast of the (tiny) query set against a full
+    scan of the corpus — embarrassingly parallel, no shuffle until the
+    per-query top-k (a groupBy on N_QUERIES keys). Rank ties broken by
+    neighbor id on the ROUNDED score so ordering is engine-stable.
+    """
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = F.broadcast(q).crossJoin(emb.withColumnRenamed("vec_id", "neighbor_id"))
+    scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def signhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-style LSH bucket per vector, from the signs of
+    4 fixed coordinate-difference projections (deterministic, no RNG —
+    portable to the SQL oracle). Near-identical vectors share buckets;
+    probing only matching buckets makes ANN sub-linear at corpus scale.
+    """
+    emb = _emb(spark, sf_dir)
+    e = F.col("embedding")
+    planes = [
+        (0, 32), (1, 33), (2, 34), (3, 35),
+    ]
+    bucket_bits = [
+        F.when(e.getItem(i).cast("double") - e.getItem(j).cast("double") >= 0, "1").otherwise("0")
+        for i, j in planes
+    ]
+    return emb.select(
+        "vec_id", "label", F.concat(*bucket_bits).alias("bucket")
+    )
+
+
+def bucketed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: cosine top-k restricted to same-bucket candidates.
+
+    The 100 TB plan: bucket once (narrow), equi-join queries to their
+    bucket (shuffle keyed on a 4-bit value — tiny), score only
+    collisions. Recall < 1 by construction; the exact variant above is
+    the measuring stick.
+    """
+    b = signhash_buckets(spark, sf_dir)
+    emb = _emb(spark, sf_dir).join(b.select("vec_id", "bucket"), "vec_id")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    pairs = F.broadcast(q).join(
+        emb.withColumnRenamed("vec_id", "neighbor_id"), "bucket"
+    )
+    scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantizer cells: per-label centroid norms.
+
+    (The full IVF probe = assign query to nearest centroid, scan that
+    cell only; here the cells come from the given ``label`` column.)
+    """
+    emb = _emb(spark, sf_dir)
+    summed = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    return summed.groupBy("label").agg(
+        F.count(F.lit(1)).alias("dims"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+    )

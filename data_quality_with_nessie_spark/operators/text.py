@@ -1,0 +1,165 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, stopword language-ID, fingerprinting, and a fully
+SQL-portable variant of the quality-filter pipeline (keep/reasons/scrub)
+so the whole rule layer is oracle-checked end to end.
+
+(The production pipeline in ``pipeline.py`` uses the trigram-model
+scorers; these operators are the native-expression subset that a SQL
+oracle can reproduce bit-for-bit.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "for")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+STOPWORDS_FR = ("le", "la", "et", "les", "des", "est", "un", "une")
+
+MIN_CHARS = 30
+# literal threshold (NOT computed as 1-0.9, which is 0.09999999999999998
+# in doubles and would diverge from the SQL oracle's literal 0.1)
+MIN_DISTINCT_TOKEN_RATIO = 0.1
+MIN_ALNUM_RATIO = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(col):
+    return F.split(F.lower(col), r"\s+")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + word-regex token counting (BPE-ish proxy: word pieces
+    = runs of alnum or single punctuation marks)."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    word_pieces = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[A-Za-z0-9]+"),
+            lambda x: x != "",
+        )
+    ) + F.size(F.filter(F.split(F.col("text"), r"[^A-Za-z0-9]+"), lambda x: x != ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        word_pieces.cast("long").alias("n_pieces"),
+        F.round(F.length("text").cast("double") / F.size(toks), 4).alias("chars_per_token"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc quality: length, stopword ratio, distinct-token ratio.
+
+    The documents-domain analog of the Soda warn/fail gates
+    (reference ``bronze_amazon_orders.yaml:12-47``), one row per doc.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        (
+            (F.length("text") >= MIN_CHARS)
+            & (distinct_ratio > MIN_DISTINCT_TOKEN_RATIO)
+        ).alias("passes_quality"),
+    )
+
+
+def langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free language-ID heuristic: argmax of stopword-list hits
+    (en/de/fr), with a deterministic tiebreak (en > de > fr) and
+    'unknown' when nothing matches. Output compared against the claimed
+    ``lang`` column — the SQL-portable sibling of the trigram langid rule."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n_en = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
+    n_de = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_DE)))
+    n_fr = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_FR)))
+    pred = (
+        F.when((n_en >= n_de) & (n_en >= n_fr) & (n_en > 0), "en")
+        .when((n_de >= n_fr) & (n_de > 0), "de")
+        .when(n_fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_en.cast("long").alias("hits_en"),
+        n_de.cast("long").alias("hits_de"),
+        n_fr.cast("long").alias("hits_fr"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint: md5 of lower(trim(collapse-whitespace)).
+    The doc-level analog of the content sha256 invariant."""
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-portable quality-filter over documents: keep + reasons + scrub.
+
+    The full pipeline shape (rules → reasons → scrub → hashes) using only
+    engine-portable expressions, so the DuckDB oracle validates the
+    keep/drop/scrub semantics end to end (the pipeline's own golden gate
+    covers the model-scorer rules separately).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n = F.length("text")
+    alnum_ratio = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", "")).cast(
+        "double"
+    ) / n
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+    r_short = (F.col("text").isNull()) | (n < MIN_CHARS)
+    r_alnum = (~r_short) & (alnum_ratio < MIN_ALNUM_RATIO)
+    r_dup = (~r_short) & (distinct_ratio <= MIN_DISTINCT_TOKEN_RATIO)
+
+    # ordered scrub (email → ipv4), same spec as scrub/patterns.py
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        "<IP>",
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(r_short, "too_short"),
+                    F.when(r_alnum, "alnum_ratio"),
+                    F.when(r_dup, "dup_tokens"),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        (~(r_short | r_alnum | r_dup)).alias("keep"),
+        reasons.alias("reasons"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha256"),
+    )

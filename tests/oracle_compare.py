@@ -1,0 +1,60 @@
+"""Driver-style Spark-vs-DuckDB comparison used by tests and ad-hoc checks.
+
+Mimics the round driver: run each ``queries()`` entry and its
+``oracle_sql()`` twin, sort columns by name, sort rows, compare values
+(with a small float tolerance fallback so genuine logic bugs surface as
+big diffs, not noise).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (bool, np.bool_)):
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(spark_df, oracle_df) -> list[str]:
+    """Returns a list of mismatch descriptions (empty == match)."""
+    problems: list[str] = []
+    s = _normalize(spark_df)
+    o = _normalize(oracle_df)
+    if list(s.columns) != list(o.columns):
+        return [f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"]
+    if len(s) != len(o):
+        return [f"row count differs: spark={len(s)} oracle={len(o)}"]
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+            if not np.allclose(
+                sv.astype(float), ov.astype(float), rtol=0, atol=1e-9, equal_nan=True
+            ):
+                bad = int((~np.isclose(sv.astype(float), ov.astype(float), rtol=0, atol=1e-9, equal_nan=True)).sum())
+                problems.append(f"col {c}: {bad} float mismatches")
+        else:
+            sa = sv.astype(str).to_numpy()
+            oa = ov.astype(str).to_numpy()
+            if not (sa == oa).all():
+                bad = int((sa != oa).sum())
+                i = int(np.argmax(sa != oa))
+                problems.append(f"col {c}: {bad} mismatches, first: {sa[i]!r} vs {oa[i]!r}")
+    return problems

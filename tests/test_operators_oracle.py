@@ -1,0 +1,46 @@
+"""Every queries() entry vs its DuckDB oracle at sf0.001 — the local
+twin of the driver's CORRECTNESS gate at sf0.01."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from .oracle_compare import compare, duckdb_con
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF_DIR)
+    yield c
+    c.close()
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = con.execute(ORACLES[name]).df()
+    problems = compare(sdf, odf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.columns == [
+        "repo", "path", "commit", "keep", "reasons", "content_sha256", "scrubbed_sha256"
+    ]
+    assert len(rows) > 0
+
+
+def test_rows_only_queries_run(spark):
+    for name in set(QUERIES) - set(ORACLES):
+        n = QUERIES[name](spark, SF_DIR).count()
+        assert n >= 0
