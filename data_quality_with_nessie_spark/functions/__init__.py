@@ -1,0 +1,8 @@
+from .columns import (  # noqa: F401
+    season,
+    surrogate_key,
+    scalable_surrogate_key,
+    missing_pct,
+    invalid_pct,
+    completeness,
+)

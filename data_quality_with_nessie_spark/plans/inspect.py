@@ -1,0 +1,47 @@
+"""Plan inspection + assertions — the "is this the plan I'd want at
+100 TB" checks, usable both interactively and from tests.
+
+The reference delegates all planning to Catalyst and never verifies it
+(SURVEY.md §4); here pushdown/broadcast/pruning are ASSERTED so a
+regression (e.g. a filter that stops reaching the parquet scan) fails
+the suite instead of silently costing a full-corpus read.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """ReadSchema column lists of every parquet scan in the plan —
+    verify column pruning (a scan reading all columns for a 2-column
+    projection is wrong)."""
+    plan = physical_plan(df)
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Every fragment must appear in a PushedFilters list."""
+    plan = physical_plan(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for frag in fragments:
+        assert frag in pushed, f"filter {frag!r} not pushed; pushed={pushed!r}"
+
+
+def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
+    plan = physical_plan(df)
+    n = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    assert n >= min_count, f"expected ≥{min_count} broadcast joins, plan has {n}"
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, "unexpected cartesian product in plan"

@@ -1,0 +1,222 @@
+"""Buffer-level scoring kernel — the zero-copy hot path.
+
+An Arrow StringArray is physically (validity, int32/64 offsets, one
+concatenated UTF-8 data buffer) — exactly the representation the
+trigram scorer wants. This module scores straight off those buffers:
+no Python ``str`` objects are ever materialized for content (the
+pandas-UDF path pays ~7× its compute in Arrow→pandas→Arrow string
+conversion; ``mapInArrow`` + this kernel pays none).
+
+Allocation discipline: every O(buffer) array lives in a per-worker
+scratch arena reused across batches (fresh 40-80 MB numpy allocations
+per op cause kernel page-fault storms that destroy multi-core scaling —
+measured 7× CPU inflation at 16 workers). Per-document work is done
+with ``np.take(..., out=)`` gathers + one ``np.add.reduceat`` per
+model; invalid trigram positions (doc boundaries, truncation excess,
+pad) are pointed at a sentinel bucket whose weight is 0.
+
+The pandas path (frozen labeler, unit tests) builds the same
+(data, starts, lens) triple by encoding and calls the same functions,
+so labels agree bit-for-bit by construction.
+
+Scoring spec (frozen): each document is scored on the first
+``MAX_SCORE_BYTES`` bytes of its UTF-8 encoding.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import scoring as S
+
+# keep jemalloc's pages resident: by default pyarrow's allocator decays
+# dirty pages back to the OS almost immediately, so every Arrow batch
+# (IPC read buffers, compute outputs) re-faults its memory — measured as
+# millions of minor faults per job and the dominant scaling killer at
+# 16 workers. Never-decay turns that into one fault per page per worker.
+try:  # pragma: no cover - availability depends on build
+    pa.jemalloc_set_decay_ms(-1)
+except (NotImplementedError, AttributeError):
+    pass
+
+# per-worker scratch arena (python workers are single-threaded processes)
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    a = _SCRATCH.get(name)
+    if a is None or a.size < size or a.dtype != np.dtype(dtype):
+        a = np.empty(int(size * 1.25) + 64, dtype=dtype)
+        _SCRATCH[name] = a
+    return a[:size]
+
+
+def buffers_from_arrow(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data uint8, doc starts, doc lens) — zero-copy views of the Arrow
+    buffers. Null slots get length 0 (no assumption about their bytes)."""
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:  # pragma: no cover - defensive
+        raise TypeError(f"expected string array, got {arr.type}")
+    raw = np.frombuffer(arr.buffers()[1], dtype=off_dtype)
+    offsets = raw[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    if arr.null_count:
+        nulls = np.asarray(arr.is_null())
+        lens = lens.copy()
+        lens[nulls] = 0
+    return data, starts, lens
+
+
+def buffers_from_pandas(contents: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Same representation built from a pandas Series (labeler path)."""
+    encoded = contents.fillna("").astype(str).str.encode("utf-8").tolist()
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
+    data = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return data, starts, lens
+
+
+def _hash_and_mask(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sentinel-masked trigram hashes over the (padded) batch region.
+
+    Valid positions for doc i are [start_i, start_i + ntri_i) where
+    ntri_i counts trigrams inside the doc's first MAX_SCORE_BYTES; every
+    other position (boundary crossings, truncation excess, inter-doc
+    gaps, pad) is pointed at the sentinel bucket. No compaction copy —
+    the excess/crossing set is tiny for typical documents, so the mask
+    index array is O(docs), not O(bytes).
+
+    Returns (h int32, ntri, rel_starts) with reduceat-ready offsets.
+    """
+    n = len(starts)
+    if n == 0:
+        return np.zeros(1, dtype=np.int32), np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    base = int(starts[0])
+    end = int((starts + lens).max())
+    total = end - base
+    buf = _scratch("buf", total + 3, np.uint8)
+    buf[:total] = data[base:end]
+    buf[total:] = 0
+
+    clipped = np.minimum(lens, S.MAX_SCORE_BYTES)
+    ntri = np.maximum(clipped - 2, 0)
+    rel = starts - base
+
+    # h over positions 0..total (inclusive; pad guarantees validity)
+    b32 = _scratch("b32", total + 3, np.int32)
+    b32[:] = buf
+    h = _scratch("h", total + 1, np.int32)
+    np.multiply(b32[: total + 1], 65599, out=h)
+    t32 = _scratch("t32", total + 1, np.int32)
+    np.multiply(b32[1 : total + 2], 131, out=t32)
+    h += t32
+    h += b32[2 : total + 3]
+    h &= S.N_BUCKETS - 1
+
+    # invalid ranges: [rel_i + ntri_i, rel_{i+1}) per doc, then the tail
+    inv_start = rel + ntri
+    inv_end = np.empty(n, dtype=np.int64)
+    inv_end[:-1] = rel[1:]
+    inv_end[-1] = total + 1
+    inv_len = inv_end - inv_start
+    m = int(inv_len.sum())
+    if m > 0:
+        out_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(inv_len[:-1], out=out_off[1:])
+        idx = np.repeat(inv_start - out_off, inv_len) + np.arange(m, dtype=np.int64)
+        h[idx] = S.N_BUCKETS
+    return h, ntri, rel
+
+
+def _segment_means(
+    weights_ext: np.ndarray, h: np.ndarray, rel: np.ndarray, ntri: np.ndarray
+) -> np.ndarray:
+    """Per-doc mean of ``weights_ext[h]`` over each doc's valid segment.
+
+    One out= gather + one reduceat; invalid positions carry weight 0.
+    Entries with ntri == 0 are zeroed (duplicate offsets make reduceat
+    return garbage for them).
+    """
+    n = len(rel)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    w = _scratch("w", h.size, np.float32)
+    # mode='clip' skips per-element bounds checks (indices are in
+    # [0, N_BUCKETS] by construction — the &-mask plus the sentinel)
+    np.take(weights_ext, h, out=w, mode="clip")
+    sums = np.add.reduceat(w, rel, dtype=np.float64)
+    sums[ntri == 0] = 0.0
+    return sums / np.maximum(ntri, 1)
+
+
+def score_buffers(
+    data: np.ndarray,
+    doc_starts: np.ndarray,
+    doc_lens: np.ndarray,
+    claimed: pd.Series,
+    n_chars: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(langid_reject, perplexity_reject) bool arrays from raw buffers."""
+    h, ntri, rel = _hash_and_mask(data, doc_starts, doc_lens)
+
+    n = len(ntri)
+    scores = np.zeros((len(S._LANGS), n), dtype=np.float64)
+    for li in range(len(S._LANGS)):
+        scores[li] = _segment_means(S._LANG_LLR[li], h, rel, ntri)
+    best = scores.max(axis=0) if n else np.zeros(0)
+    pred_idx = np.argmax(scores, axis=0) if n else np.zeros(0, dtype=int)
+    pred = np.asarray(S._LANGS, dtype=object)[pred_idx]
+    pred[ntri == 0] = ""
+
+    claimed_norm = claimed.fillna("").str.lower()
+    claimed_idx = claimed_norm.map(S._LANG_IDX).to_numpy()
+    known = ~pd.isna(claimed_idx)
+    safe_idx = np.where(known, claimed_idx, 0).astype(int)
+    claimed_score = np.where(known, scores[safe_idx, np.arange(n)], 0.0)
+    langid_fired = (
+        known
+        & (n_chars >= S.LANGID_MIN_CHARS)
+        & (pred != claimed_norm.to_numpy())
+        & ((best - claimed_score) > S.LANGID_MARGIN)
+    )
+
+    bits = -_segment_means(S._BG_LOGP, h, rel, ntri) / math.log(2.0)
+    bits[ntri == 0] = 0.0
+    ppl_fired = (n_chars >= S.PPL_MIN_CHARS) & (bits > S.PPL_MAX_BITS)
+    return langid_fired, ppl_fired
+
+
+def score_arrow(content: pa.Array, lang: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-native entry: zero-copy buffers in, bool verdicts out.
+
+    The length gates use CHARACTER counts (same as the pandas path);
+    pyarrow computes them C-side.
+    """
+    import pyarrow.compute as pc
+
+    data, starts, lens = buffers_from_arrow(content)
+    n_chars = np.asarray(pc.fill_null(pc.utf8_length(content), 0), dtype=np.int64)
+    claimed = lang.to_pandas().astype(object)
+    return score_buffers(data, starts, lens, claimed, n_chars)
+
+
+# kept for callers that need per-language scores (calibration/tests)
+def lang_score_matrix(data, starts, lens) -> tuple[np.ndarray, np.ndarray]:
+    """(scores [n_langs, n], ntri) — exposed for langid_scores()."""
+    h, ntri, rel = _hash_and_mask(data, starts, lens)
+    scores = np.zeros((len(S._LANGS), len(ntri)), dtype=np.float64)
+    for li in range(len(S._LANGS)):
+        scores[li] = _segment_means(S._LANG_LLR[li], h, rel, ntri)
+    return scores, ntri

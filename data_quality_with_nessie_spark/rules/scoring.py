@@ -31,7 +31,7 @@ from .corpus import KNOWN_LANGS, TRAINING_CORPUS
 
 # ---- model hyperparameters (fixed constants — part of the frozen spec) ----
 N_BUCKETS = 1 << 16          # hashed trigram feature space
-MAX_SCORE_CHARS = 1024       # score on the first 1 KiB of each file
+MAX_SCORE_BYTES = 1024       # score on the first 1 KiB of each file's UTF-8 bytes
 ALPHA = 0.5                  # add-alpha smoothing
 LANGID_MIN_CHARS = 200       # don't judge tiny files
 # predicted must beat claimed by this much (nats/trigram). Calibrated on
@@ -48,11 +48,21 @@ _LANG_IDX: dict[str, int] = {lang: i for i, lang in enumerate(_LANGS)}
 
 
 def _trigram_hashes(buf: np.ndarray) -> np.ndarray:
-    """Hash every byte trigram of ``buf`` (uint8) into [0, N_BUCKETS)."""
+    """Hash every byte trigram of ``buf`` (uint8) into [0, N_BUCKETS).
+
+    int32 in-place arithmetic: the raw hash tops out at ~16.8M (255*65599
+    + 255*131 + 255) so int32 is exact, and in-place ops halve the
+    temporary-allocation traffic vs the naive int64 expression (this is
+    the hot loop of the whole pipeline).
+    """
     if buf.size < 3:
-        return np.zeros(0, dtype=np.int64)
-    b = buf.astype(np.int64)
-    return (b[:-2] * 65599 + b[1:-1] * 131 + b[2:]) & (N_BUCKETS - 1)
+        return np.zeros(0, dtype=np.int32)
+    b = buf.astype(np.int32)
+    h = b[:-2] * 65599
+    h += b[1:-1] * 131
+    h += b[2:]
+    h &= N_BUCKETS - 1
+    return h
 
 
 def _train() -> tuple[np.ndarray, np.ndarray]:
@@ -68,38 +78,50 @@ def _train() -> tuple[np.ndarray, np.ndarray]:
     bg_logp = np.log((bg_counts + ALPHA) / (bg_counts.sum() + ALPHA * N_BUCKETS))
     # language score = mean per-trigram log-likelihood RATIO vs background,
     # so common code trigrams (whitespace runs, "the ") don't dominate.
-    return (logp - bg_logp[None, :]).astype(np.float64), bg_logp.astype(np.float64)
+    # float32 weights (halves gather traffic; decisions have ≥0.2-nat
+    # margins) with a trailing 0.0 sentinel bucket at index N_BUCKETS:
+    # trigrams crossing document boundaries are pointed there so the
+    # per-document reduceat sums exclude them exactly.
+    llr = np.zeros((len(_LANGS), N_BUCKETS + 1), dtype=np.float32)
+    llr[:, :N_BUCKETS] = (logp - bg_logp[None, :]).astype(np.float32)
+    bg = np.zeros(N_BUCKETS + 1, dtype=np.float32)
+    bg[:N_BUCKETS] = bg_logp.astype(np.float32)
+    return llr, bg
 
 
 _LANG_LLR, _BG_LOGP = _train()
 
 
 def _encode_batch(contents: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """UTF-8 encode a batch into one buffer.
+    """Pandas-path encode: delegate to the shared buffer kernel.
 
-    Returns (byte buffer uint8, per-doc trigram counts, per-doc trigram
-    start offsets). All steps are pandas/numpy C loops over the batch.
+    Returns (sentinel-masked trigram hashes, per-doc trigram counts,
+    per-doc trigram start offsets). Same code path as the Arrow
+    zero-copy route (``kernel.py``), so labels agree bit-for-bit and are
+    invariant to batch composition (the property local[8] vs local[32]
+    label equality rests on).
     """
-    vals = contents.fillna("").astype(str).str.slice(0, MAX_SCORE_CHARS)
-    encoded = vals.str.encode("utf-8").tolist()
-    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
-    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8)
-    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    ntri = np.maximum(lens - 2, 0)
-    return buf, ntri, offsets[:-1]
+    from . import kernel
+
+    data, starts, lens = kernel.buffers_from_pandas(contents)
+    return kernel._hash_and_mask(data, starts, lens)
 
 
-def _segment_means(weights: np.ndarray, starts: np.ndarray, ntri: np.ndarray) -> np.ndarray:
-    """Exact per-document mean of ``weights`` over [start, start+ntri)."""
-    cs = np.zeros(weights.size + 1, dtype=np.float64)
-    np.cumsum(weights, out=cs[1:])
-    # docs shorter than 3 bytes have ntri == 0 but their offset can sit
-    # past the end of the trigram array (e.g. an empty doc at the batch
-    # tail) — clip; their sum is 0 either way.
-    starts_c = np.minimum(starts, weights.size)
-    ends_c = np.minimum(starts + ntri, weights.size)
-    sums = cs[ends_c] - cs[starts_c]
+def _segment_means(weights_ext: np.ndarray, h: np.ndarray, starts: np.ndarray, ntri: np.ndarray) -> np.ndarray:
+    """Per-document mean of ``weights_ext[h]`` over each doc's segment.
+
+    One gather + one ``np.add.reduceat`` — no O(batch) cumsum
+    allocation. Crossing trigrams were already pointed at the sentinel
+    (weight 0). Entries with ntri == 0 come out of reduceat as garbage
+    (duplicate/clipped offsets) and are zeroed explicitly.
+    """
+    n = len(starts)
+    if h.size == 0 or n == 0:
+        return np.zeros(n, dtype=np.float64)
+    w = weights_ext[h]
+    starts_c = np.minimum(starts, h.size - 1)
+    sums = np.add.reduceat(w, starts_c, dtype=np.float64)
+    sums[ntri == 0] = 0.0
     return sums / np.maximum(ntri, 1)
 
 
@@ -108,12 +130,11 @@ def langid_scores(contents: pd.Series) -> pd.DataFrame:
 
     Columns: ``pred`` (str), ``score_<lang>`` per known language.
     """
-    buf, ntri, starts = _encode_batch(contents)
-    h = _trigram_hashes(buf)
+    h, ntri, starts = _encode_batch(contents)
     n = len(contents)
     scores = np.zeros((len(_LANGS), n), dtype=np.float64)
     for li in range(len(_LANGS)):
-        scores[li] = _segment_means(_LANG_LLR[li, h], starts, ntri)
+        scores[li] = _segment_means(_LANG_LLR[li], h, starts, ntri)
     pred_idx = np.argmax(scores, axis=0)
     out = pd.DataFrame(
         {f"score_{lang}": scores[li] for li, lang in enumerate(_LANGS)},
@@ -154,9 +175,8 @@ def langid_reject(contents: pd.Series, claimed: pd.Series) -> pd.Series:
 
 def perplexity_bits(contents: pd.Series) -> pd.Series:
     """Background-LM perplexity in bits/trigram (higher = more alien)."""
-    buf, ntri, starts = _encode_batch(contents)
-    h = _trigram_hashes(buf)
-    means = _segment_means(_BG_LOGP[h], starts, ntri)
+    h, ntri, starts = _encode_batch(contents)
+    means = _segment_means(_BG_LOGP, h, starts, ntri)
     bits = -means / math.log(2.0)
     bits[ntri == 0] = 0.0
     return pd.Series(bits, index=contents.index, dtype=np.float64)
@@ -168,3 +188,22 @@ def perplexity_reject(contents: pd.Series) -> pd.Series:
     bits = perplexity_bits(contents).to_numpy()
     fired = (n_chars >= PPL_MIN_CHARS) & (bits > PPL_MAX_BITS)
     return pd.Series(fired, index=contents.index, dtype=bool)
+
+
+def score_batch(contents: pd.Series, claimed: pd.Series) -> pd.DataFrame:
+    """Fused scorer: langid_reject + perplexity_reject in ONE pass
+    (shared encode + trigram hash via the buffer kernel). Decision-
+    identical to :func:`langid_reject` / :func:`perplexity_reject` —
+    same weights, same segment reduction."""
+    from . import kernel
+
+    n_chars = contents.fillna("").str.len().to_numpy(dtype=np.int64)
+    data, starts, lens = kernel.buffers_from_pandas(contents)
+    langid_fired, ppl_fired = kernel.score_buffers(data, starts, lens, claimed, n_chars)
+    return pd.DataFrame(
+        {
+            "langid_reject": pd.Series(langid_fired, index=contents.index, dtype=bool),
+            "perplexity_reject": pd.Series(ppl_fired, index=contents.index, dtype=bool),
+        },
+        index=contents.index,
+    )

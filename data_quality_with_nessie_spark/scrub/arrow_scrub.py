@@ -1,0 +1,29 @@
+"""Arrow-native scrub: the same ordered pattern list executed by RE2
+inside Arrow compute kernels (C++, no Python string objects).
+
+Byte-identity with the frozen Python-``re`` implementation
+(``patterns.py``) is part of the test suite (``tests/test_scrub.py``
+cross-checks both paths on the fixture corpus and adversarial cases) —
+the patterns use only constructs with identical semantics in both
+engines (no lookaround, no backtracking-dependent alternation).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .patterns import SCRUB_PATTERNS
+
+_RE2: list[tuple[str, str]] = [
+    (("(?i)" + pat) if name == "api_token" else pat, repl)
+    for name, pat, repl in SCRUB_PATTERNS
+]
+
+
+def scrub_arrow(arr: pa.Array) -> pa.Array:
+    """Ordered global replacement over an Arrow string array.
+    Nulls pass through (null-field rule quarantines them)."""
+    for pat, repl in _RE2:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+    return arr

@@ -68,6 +68,16 @@ _COMPILED: list[tuple[str, re.Pattern[str], str]] = [
     for name, pat, repl in SCRUB_PATTERNS
 ]
 
+# Literal substrings a pattern REQUIRES to match (regex-provable): rows
+# without the literal are skipped — a memchr-style scan instead of the
+# full regex engine. Semantically identical output by construction.
+_PREFILTER: dict[str, str] = {
+    "email": "@",
+    "aws_key": "AKIA",
+    "private_key_block": "-----BEGIN",
+    "ipv4": ".",
+}
+
 
 def scrub_text(text: str | None) -> str | None:
     """Scrub one string. None passes through (null-field rule handles it)."""
@@ -87,8 +97,26 @@ def scrub_series(s: pd.Series) -> pd.Series:
     ``series.apply(lambda …)`` shape, cf. ``cleansing.py:115``).
     """
     out = s
-    for _, rx, repl in _COMPILED:
-        out = out.str.replace(rx, repl, regex=True)
+    for name, rx, repl in _COMPILED:
+        if name == "api_token":
+            # every alternation branch contains one of these literals;
+            # scan a lowered copy instead of running the (?i) regex on
+            # every row — by far the most expensive pattern otherwise
+            low = out.str.lower()
+            mask = pd.Series(False, index=out.index)
+            for lit in ("key", "secret", "token", "passwd"):
+                mask |= low.str.contains(lit, regex=False).fillna(False)
+        else:
+            lit = _PREFILTER.get(name)
+            if lit is None:
+                out = out.str.replace(rx, repl, regex=True)
+                continue
+            mask = out.str.contains(lit, regex=False).fillna(False).astype(bool)
+        if not mask.any():
+            continue
+        replaced = out[mask].str.replace(rx, repl, regex=True)
+        out = out.copy()
+        out[mask] = replaced
     return out
 
 

@@ -27,6 +27,14 @@ def get_spark(
     ``master=None`` defers to spark-submit / the environment — the
     cluster-deploy path. Tests pass ``local[N]`` explicitly.
     """
+    # glibc malloc tunables, inherited by the JVM and every forked python
+    # worker: without them, numpy's >128KB buffers are mmap'd and munmap'd
+    # per operation, and N concurrent workers page-faulting tens of MB
+    # each contend on the kernel's zone lock — measured as 7-30× CPU
+    # inflation of the scoring kernel at 16 workers. Retaining big
+    # allocations in the heap faults each page once per worker lifetime.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
@@ -37,15 +45,26 @@ def get_spark(
         shuffle_partitions = max(8, cpus)
 
     conf = {
+        # local mode = one JVM; the driver heap is the ONLY memory knob.
+        # The 1g default causes GC thrash as parallelism grows.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        # ParallelGC + a committed Xms: G1 uncommits heap regions between
+        # jobs, so every run re-faults gigabytes (measured ~700k minor
+        # faults/run); ParallelGC holds the heap once faulted, and for a
+        # throughput batch engine its pauses are irrelevant.
+        "spark.driver.extraJavaOptions": "-Xms24g -XX:+UseParallelGC",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # large Arrow batches amortize Python invocation overhead in the
-        # vectorized scorers; content rows are ~KB so 10k rows ≈ tens of MB.
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # Arrow batch sizing: ~KB content rows → 2048 rows ≈ 2 MB buffers.
+        # CRITICAL: allocator arenas (jemalloc/mimalloc) recycle chunks
+        # ≤4 MB but munmap anything ≥8 MB on free, so bigger batches
+        # re-page-fault every buffer every batch — measured 3.5M minor
+        # faults/run and 2× wall-clock at 16 workers with 10k-row batches.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
         "spark.ui.enabled": "false",
         "spark.sql.files.maxPartitionBytes": "134217728",
     }

@@ -1,0 +1,1 @@
+from .readers import read_source_files, read_csv_batch, read_table  # noqa: F401

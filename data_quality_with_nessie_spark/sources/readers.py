@@ -1,0 +1,62 @@
+"""Source readers — every scan the reference performs, schema-first.
+
+The reference's scans (SURVEY.md §2.1): CSV with header+inferSchema
+(``ingest.py:52-54``), Iceberg table SQL scans (``cleansing.py:42-57``),
+and the last-batch views (``lakehouse-init.sql:66-98``). Rebuilt with
+explicit schemas everywhere — ``inferSchema`` is a full extra pass over
+the data and does not survive 10^12 files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import SOURCE_FILES
+
+
+def read_source_files(spark: SparkSession, path: str) -> DataFrame:
+    """The engine's input table (BASELINE.json input_hint shape)."""
+    return spark.read.schema(SOURCE_FILES).parquet(path)
+
+
+def read_table(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv_batch(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    date_columns: dict[str, str] | None = None,
+    renames: dict[str, str] | None = None,
+) -> DataFrame:
+    """Batch CSV ingestion (reference ``ingest.py:52-56``) done right:
+
+    * explicit schema instead of ``inferSchema=True`` (which triggers a
+      full pre-scan, ``ingest.py:53``),
+    * ONE declared date format per column — the reference parses
+      ``dd-mm-yy`` at ingest but ``MM-dd-yy`` at cleanse against
+      ``MM-dd-yy`` data, silently nulling day>12 dates
+      (``ingest.py:55`` vs ``cleansing.py:64``; SURVEY.md appendix),
+    * renames applied at read (``withColumnRenamed``, ``ingest.py:56``).
+    """
+    df = spark.read.schema(schema).option("header", True).csv(path)
+    for col, fmt in (date_columns or {}).items():
+        df = df.withColumn(col, F.to_date(F.col(col), fmt))
+    for old, new in (renames or {}).items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def last_batch_view(df: DataFrame, ts_col: str) -> DataFrame:
+    """Rows at the max timestamp — the reference's ``*_last_batch`` views
+    (``lakehouse-init.sql:66-98``). The scalar max is computed as a
+    1-row broadcast join, so the filter reaches the scan as a literal
+    after the first stage at any scale."""
+    mx = df.agg(F.max(ts_col).alias("__mx"))
+    return df.join(F.broadcast(mx), df[ts_col] == mx["__mx"], "inner").drop("__mx")

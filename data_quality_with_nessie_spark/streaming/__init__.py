@@ -1,0 +1,1 @@
+from .jobs import streaming_quality_filter, windowed_event_counts  # noqa: F401

@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""Build the --py-files artifact: dist/dq_modules.zip containing the
+``data_quality_with_nessie_spark`` package (north_rule: the job ships as
+spark-submit --py-files modules)."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "data_quality_with_nessie_spark"
+
+
+def build(out: str | None = None) -> str:
+    out = out or os.path.join(ROOT, "dist", "dq_modules.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg_root = os.path.join(ROOT, PKG)
+        for dirpath, _, files in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, ROOT))
+    return out
+
+
+if __name__ == "__main__":
+    print(build())

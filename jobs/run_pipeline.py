@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for the quality-filter pipeline.
+
+The north_rule deployment shape: one job, shipped as
+``spark-submit --py-files dq_modules.zip jobs/run_pipeline.py ...`` to a
+multi-executor cluster (replacing the reference's SSH-into-container
+spark-submit chain, ``airflow/plugins/operators/sparkSSH.py:41-86``, and
+its getopt CLI, ``spark-container/modules/CLI.py:9-54``).
+
+Build the artifact:   python jobs/package.py  →  dist/dq_modules.zip
+Local run:            python jobs/run_pipeline.py --input ... --output ...
+Cluster run:          spark-submit --py-files dist/dq_modules.zip \\
+                          jobs/run_pipeline.py --input s3://... --output ...
+
+Resume: re-running with the same --output continues from the last
+committed bucket (kill-safe; see catalog.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="quality-filter pipeline")
+    p.add_argument("--input", required=True, help="input parquet dir (repo,path,commit,lang,content)")
+    p.add_argument("--output", required=True, help="catalog root for kept/quarantine/metrics")
+    p.add_argument("--buckets", type=int, default=0, help="salted bucket count (0 = auto from input size)")
+    p.add_argument("--master", default=None, help="override master (tests only; cluster uses spark-submit)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from data_quality_with_nessie_spark import skew
+    from data_quality_with_nessie_spark.catalog import LocalCatalog
+    from data_quality_with_nessie_spark.pipeline import read_source, run
+    from data_quality_with_nessie_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="quality-filter",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    source = read_source(spark, args.input)
+    n_buckets = args.buckets
+    if n_buckets <= 0:
+        # cap files-per-task without a full count: estimate rows from
+        # on-disk bytes (parquet metadata would be exact; size/row ≈ 1 KB
+        # is conservative for source files)
+        import glob
+        import os
+
+        if os.path.isdir(args.input):
+            nbytes = sum(
+                os.path.getsize(f)
+                for f in glob.glob(os.path.join(args.input, "**", "*.parquet"), recursive=True)
+            )
+        elif os.path.exists(args.input):
+            nbytes = os.path.getsize(args.input)
+        else:
+            nbytes = 0
+        approx_rows = max(1, nbytes // 1024)
+        n_buckets = skew.choose_bucket_count(approx_rows)
+
+    summary = run(spark, source, LocalCatalog(args.output), n_buckets=n_buckets)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""spark-submit entrypoint + --py-files packaging."""
+
+import os
+import zipfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from jobs.package import build
+from jobs.run_pipeline import main
+
+
+def test_run_pipeline_cli(spark, input_pdf, tmp_path):
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(pa.Table.from_pandas(input_pdf, preserve_index=False), inp)
+    out = str(tmp_path / "cat")
+    summary = main(["--input", inp, "--output", out, "--buckets", "8"])
+    assert summary["rows_in"] == len(input_pdf)
+    assert 0 < summary["rows_out"] < summary["rows_in"]
+    # rerun resumes (no reprocessing)
+    summary2 = main(["--input", inp, "--output", out, "--buckets", "8"])
+    assert summary2["buckets_processed"] == []
+
+
+def test_auto_bucket_count(spark, input_pdf, tmp_path):
+    inp = str(tmp_path / "in2.parquet")
+    pq.write_table(pa.Table.from_pandas(input_pdf, preserve_index=False), inp)
+    summary = main(["--input", inp, "--output", str(tmp_path / "cat2")])
+    assert summary["rows_in"] == len(input_pdf)
+
+
+def test_pyfiles_artifact(tmp_path):
+    out = build(str(tmp_path / "dq_modules.zip"))
+    with zipfile.ZipFile(out) as zf:
+        names = zf.namelist()
+    assert "data_quality_with_nessie_spark/pipeline.py" in names
+    assert "data_quality_with_nessie_spark/rules/kernel.py" in names
+    assert all(n.endswith(".py") for n in names)

@@ -1,0 +1,29 @@
+"""Multimodal plumbing: binary columns through Arrow-batched mapInPandas."""
+
+from data_quality_with_nessie_spark.operators.multimodal import (
+    _decode_stub,
+    extract_features,
+    synth_assets,
+)
+
+
+def test_feature_extraction_roundtrip(spark):
+    assets = synth_assets(spark, n=64)
+    feats = extract_features(assets).toPandas().sort_values("asset_id").reset_index(drop=True)
+    assert len(feats) == 64
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["feature"].map(len).eq(8).all()
+    # deterministic: same payload → same feature
+    pdf = assets.toPandas().sort_values("asset_id").reset_index(drop=True)
+    expect = _decode_stub(pdf["payload"].iloc[0], pdf["kind"].iloc[0])
+    got = list(feats["feature"].iloc[0])
+    assert len(got) == len(expect)
+    # feature column is float32; compare at float32 precision
+    assert all(abs(g - e) < 1e-6 for g, e in zip(got, expect))
+
+
+def test_feature_histogram_normalized(spark):
+    assets = synth_assets(spark, n=16)
+    feats = extract_features(assets).toPandas()
+    sums = feats["feature"].map(sum)
+    assert ((sums - 1.0).abs() < 1e-3).all()

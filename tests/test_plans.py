@@ -1,0 +1,64 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast — the
+would-this-survive-100× checks, pinned as tests."""
+
+from pyspark.sql import functions as F
+
+from data_quality_with_nessie_spark.operators import relational as R
+from data_quality_with_nessie_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    physical_plan,
+    scan_read_schema,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert_pushed_filters(df, "GreaterThan(l_quantity,30.0)")
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(df)
+    assert schemas and all("l_extendedprice" not in s for s in schemas)
+    assert all(len(s.split(",")) == 2 for s in schemas)
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = R.star_join_revenue(spark, SF)
+    assert_broadcast_join(df, min_count=4)
+    assert_no_cartesian(df)
+
+
+def test_anti_join_not_cartesian(spark):
+    df = R.ingest_dedup_anti_join(spark, SF)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+
+
+def test_pipeline_single_python_stage(spark, input_pdf):
+    """ALL Python work must ride ONE ArrowEval/mapInArrow node — a
+    regression to multiple Python passes is the reference's 12-UDF
+    anti-pattern (cleansing.py:119-122)."""
+    from data_quality_with_nessie_spark.pipeline import classify
+    from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+
+    import re
+
+    sdf = spark.createDataFrame(input_pdf.head(50), schema=SOURCE_FILES)
+    plan = physical_plan(classify(sdf, n_buckets=4))
+    # count plan NODES (the formatted detail section lists each once
+    # as "(n) NodeName")
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
+    n_python = sum(1 for n in nodes if n in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython"))
+    assert n_python == 1, f"expected 1 python stage, plan nodes: {nodes}"
+    # exactly one exchange: the salted-bucket repartition
+    assert sum(1 for n in nodes if n == "Exchange") == 1, nodes
