@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_domain_check": R.min_domain_check,
         "invalid_percent": R.invalid_percent,
         "row_count_gate": R.row_count_gate,
+        "deterministic_sample": R.deterministic_sample,
         # --- training-data ops: dedup ---
         "exact_dedup": D.exact_dedup,
         "minhash_signatures": D.minhash_signatures,
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": S.cosine_topk,
         "signhash_buckets": S.signhash_buckets,
         "bucketed_ann_topk": S.bucketed_ann_topk,
+        "near_dup_pairs": S.near_dup_pairs,
         "centroid_by_label": S.centroid_by_label,
         # --- text analysis ---
         "token_stats": T.token_stats,
@@ -287,6 +289,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS row_count, count(*) > 0 AS gate_passed
             FROM events GROUP BY event_type
         """,
+        "deterministic_sample": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE substr(md5('sample:' || o_orderkey::VARCHAR), 1, 2) < '1a'
+        """,
         # --- dedup ---
         "exact_dedup": """
             SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
@@ -381,6 +388,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 10
+        """,
+        "near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6
+                   ) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6
+                   ) >= 0.5
         """,
         "centroid_by_label": """
             WITH s AS (

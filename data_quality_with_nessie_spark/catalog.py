@@ -168,6 +168,24 @@ class LocalCatalog:
         ``init_project.py:78``)."""
         shutil.rmtree(self.staging_dir(run_id), ignore_errors=True)
 
+    # ---- admin / introspection (reference branch+namespace DDL:
+    # ``LIST REFERENCES`` merge_into_main.py:22, ``SHOW TABLES``
+    # init_project.py:102, ``CREATE NAMESPACE`` init_project.py:70) ----
+    def list_branches(self) -> list[str]:
+        return sorted(os.listdir(os.path.join(self.root, "staging")))
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if d != "staging" and os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def create_namespace(self, name: str) -> str:
+        """Medallion-style namespace = a subdirectory of tables."""
+        path = os.path.join(self.root, name)
+        os.makedirs(path, exist_ok=True)
+        return path
+
     def save_run_state(self, run_id: str, state: dict) -> None:
         path = os.path.join(self.staging_dir(run_id), "state.json")
         with open(path + ".tmp", "w") as fh:

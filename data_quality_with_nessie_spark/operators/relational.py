@@ -306,3 +306,18 @@ def row_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("row_count"))
         .withColumn("gate_passed", F.col("row_count") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# L1 — deterministic sampling
+# (reference ``sampler.py:32-44``: RAND() column + WHERE rndm > 0.6 LIMIT 25 —
+# non-reproducible; rebuilt as hash-threshold sampling: stable across runs,
+# engines and cluster sizes, and pushable into any engine)
+# ---------------------------------------------------------------------------
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # keep ~10%: first 2 hex chars of md5(key) < '1a' (26/256 ≈ 10.2%)
+    h = F.md5(F.concat(F.lit("sample:"), F.col("o_orderkey").cast("string")))
+    return orders.filter(F.substring(h, 1, 2) < "1a").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

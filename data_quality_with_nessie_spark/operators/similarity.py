@@ -120,6 +120,21 @@ def bucketed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec pairs with cosine ≥
+    threshold). The brute-force form oracles the math; at corpus scale
+    the same scoring runs only on :func:`signhash_buckets` collisions.
+    """
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
 def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse quantizer cells: per-label centroid norms.
 

@@ -1,1 +1,7 @@
-from .readers import read_source_files, read_csv_batch, read_table  # noqa: F401
+from .readers import (  # noqa: F401
+    last_batch_view,
+    read_csv_batch,
+    read_source_files,
+    read_table,
+)
+from .writers import append_parquet, single_csv, overwrite_parquet  # noqa: F401

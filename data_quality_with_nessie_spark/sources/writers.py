@@ -1,0 +1,33 @@
+"""Sinks — the reference's write surface (SURVEY.md §2.1).
+
+S3 (append sink), S14 (single-file CSV for fixtures/dictionaries,
+reference ``sampler.py:26-30``), and the partitioned-parquet form the
+catalog stages through. No ``coalesce(1)`` on big data — it serializes
+the whole write through one task; it exists here only for the tiny
+fixture/dictionary outputs the reference used it for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def append_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Append sink (reference ``INSERT INTO … SELECT``, ``ingest.py:93-101``)."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def single_csv(df: DataFrame, path: str) -> None:
+    """Single-file CSV (reference ``sampler.py:26`` ``coalesce(1)``) —
+    fixture/dictionary outputs ONLY; never for data-scale frames."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def overwrite_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,18 @@
+"""Catalog admin surface: branch/namespace/table introspection (S9/S10)."""
+
+from data_quality_with_nessie_spark.catalog import LocalCatalog
+
+
+def test_branch_lifecycle(tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    rid = cat.create_branch()
+    assert rid in cat.list_branches()
+    cat.drop_branch(rid)
+    assert rid not in cat.list_branches()
+
+
+def test_tables_and_namespaces(tmp_path):
+    cat = LocalCatalog(str(tmp_path))
+    assert set(cat.list_tables()) == {"kept", "metrics", "quarantine"}
+    cat.create_namespace("gold")
+    assert "gold" in cat.list_tables()

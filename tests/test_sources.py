@@ -1,0 +1,64 @@
+"""Source readers/writers: CSV batch ingestion (S1/P1/P2), last-batch
+view (S5), sinks (S3/S14)."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_quality_with_nessie_spark.sources import (
+    append_parquet,
+    last_batch_view,
+    read_csv_batch,
+    single_csv,
+)
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("Order_ID", T.StringType()),
+        T.StructField("Date", T.StringType()),
+        T.StructField("Qty", T.IntegerType()),
+        T.StructField("Amount", T.DoubleType()),
+    ]
+)
+
+
+def test_csv_batch_explicit_schema_and_dates(spark, tmp_path):
+    p = tmp_path / "batch.csv"
+    p.write_text(
+        "Order_ID,Date,Qty,Amount\n"
+        "A-1,04-30-22,2,19.99\n"   # day > 12: nulled by the reference's
+        "A-2,01-05-22,1,5.00\n"    # dd-mm-yy ingest bug; correct here
+    )
+    df = read_csv_batch(
+        spark,
+        str(p),
+        CSV_SCHEMA,
+        date_columns={"Date": "MM-dd-yy"},
+        renames={"Date": "order_date"},
+    )
+    rows = {r["Order_ID"]: r for r in df.collect()}
+    assert str(rows["A-1"]["order_date"]) == "2022-04-30"
+    assert str(rows["A-2"]["order_date"]) == "2022-01-05"
+    assert rows["A-1"]["Qty"] == 2 and abs(rows["A-1"]["Amount"] - 19.99) < 1e-9
+
+
+def test_last_batch_view(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lb = last_batch_view(orders, "o_orderdate")
+    mx = orders.agg(F.max("o_orderdate")).collect()[0][0]
+    got = lb.select("o_orderdate").distinct().collect()
+    assert len(got) == 1 and got[0][0] == mx
+
+
+def test_sinks(spark, tmp_path):
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    out = str(tmp_path / "append")
+    append_parquet(df, out)
+    append_parquet(df, out)
+    assert spark.read.parquet(out).count() == 2 * df.count()
+
+    csv_out = str(tmp_path / "single_csv")
+    single_csv(df, csv_out)
+    files = [f for f in os.listdir(csv_out) if f.endswith(".csv")]
+    assert len(files) == 1  # coalesce(1): exactly one data file
