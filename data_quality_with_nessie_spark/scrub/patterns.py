@@ -63,8 +63,16 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ),
 ]
 
+# re.ASCII pins \b / \s / (?i) to ASCII semantics — the spec. Python's
+# default unicode-aware classes diverge from RE2 (the Arrow execution
+# engine): e.g. '¹10.0.0.1' has no Python-unicode \b before the 1 but
+# does have an ASCII one (found by hypothesis, tests/test_properties.py).
 _COMPILED: list[tuple[str, re.Pattern[str], str]] = [
-    (name, re.compile(pat, re.IGNORECASE if name == "api_token" else 0), repl)
+    (
+        name,
+        re.compile(pat, re.ASCII | (re.IGNORECASE if name == "api_token" else 0)),
+        repl,
+    )
     for name, pat, repl in SCRUB_PATTERNS
 ]
 
