@@ -1,0 +1,70 @@
+"""Custom stateful streaming operator: per-user session tracking via
+``applyInPandasWithState``.
+
+The batch twin is ``operators.events.sessionize`` (oracle-checked); this
+is the continuous form: state = (last event ts, open-session count),
+carried across micro-batches per user, emitting one row per user per
+batch with the running session count. The reference has nothing like
+this — its closest analog is the Airflow Variable that tracks in-flight
+files (``airflow/includes/batch_processing/utils.py:4-52``), driver-side
+and single-writer; here state is partitioned by key and fault-tolerant
+via the checkpoint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 1800
+
+OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long, last_ts timestamp"
+STATE_SCHEMA = "last_epoch long, n_sessions long, n_events long"
+
+
+def _track(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    last_epoch, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+    epochs = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
+    for e in epochs:
+        if last_epoch is None or (e - last_epoch) > SESSION_GAP_SECONDS:
+            n_sessions += 1
+        last_epoch = int(e)
+        n_events += 1
+    state.update((last_epoch, n_sessions, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+            "last_ts": [pd.Timestamp(last_epoch, unit="s")],
+        }
+    )
+
+
+def stateful_sessionize(events: DataFrame) -> DataFrame:
+    """Continuous sessionization over a stream of events.
+
+    One stateful shuffle keyed on user_id; state size is O(users), not
+    O(events) — the watermark-free form is safe because state is three
+    scalars per key.
+    """
+    ev = events.withColumn("ts", events["ts"].cast("timestamp"))
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _track,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -44,6 +44,23 @@ def test_anti_join_not_cartesian(spark):
     assert "LeftAnti" in plan
 
 
+def test_dedup_self_joins_reuse_exchanges(spark):
+    """The MinHash/shingle subtrees appear twice in the static plan
+    (self-joins) but AQE must REUSE their shuffle output at runtime —
+    otherwise candidate generation costs 2× the signature computation."""
+    from data_quality_with_nessie_spark.operators import dedup as D
+
+    df = D.lsh_candidate_pairs(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+
+    df2 = D.ngram_jaccard_topk(spark, SF)
+    df2.collect()
+    final2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert final2.count("ReusedExchange") >= 2
+
+
 def test_pipeline_single_python_stage(spark, input_pdf):
     """ALL Python work must ride ONE ArrowEval/mapInArrow node — a
     regression to multiple Python passes is the reference's 12-UDF

@@ -1,0 +1,44 @@
+"""applyInPandasWithState sessionization: final state matches the batch
+(oracle-checked) sessionize operator."""
+
+import pandas as pd
+
+from data_quality_with_nessie_spark.operators.events import sessionize
+from data_quality_with_nessie_spark.streaming.stateful import stateful_sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode: keep the LAST emitted row per user
+    out = spark.sql("SELECT * FROM sess_state").toPandas()
+    got = (
+        out.groupby("user_id")
+        .last()[["n_sessions", "n_events"]]
+        .sort_index()
+    )
+    want = (
+        sessionize(spark, SF)
+        .toPandas()
+        .set_index("user_id")[["n_sessions", "n_events"]]
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_names=False
+    )
