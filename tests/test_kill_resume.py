@@ -1,0 +1,83 @@
+"""Process-level kill-and-rerun: SIGKILL the job mid-commit, rerun it,
+assert complete output with no duplicates — the north_rule's
+checkpoint/resume semantics exercised for real (not simulated)."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_JOB = """
+import sys
+sys.path.insert(0, {repo!r})
+from jobs.run_pipeline import main
+main(["--input", {inp!r}, "--output", {out!r}, "--buckets", "16",
+      "--master", "local[4]", "--shuffle-partitions", "4"])
+"""
+
+
+@pytest.mark.slow
+def test_kill9_then_resume(input_pdf, tmp_path):
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(pa.Table.from_pandas(input_pdf, preserve_index=False), inp)
+    out = str(tmp_path / "cat")
+    script = _JOB.format(repo=REPO, inp=inp, out=out)
+
+    # run 1: SIGKILL as soon as the first bucket commits (metrics file
+    # appears) — leaves a mix of committed, staged and unprocessed state
+    p = subprocess.Popen(
+        [sys.executable, "-c", script], stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+    )
+    metrics_dir = os.path.join(out, "metrics")
+    deadline = time.time() + 240
+    killed = False
+    while time.time() < deadline:
+        if p.poll() is not None:
+            break  # finished before any kill window — still a valid (weaker) run
+        if os.path.isdir(metrics_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(metrics_dir)
+        ):
+            os.kill(p.pid, signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.05)
+    p.wait()
+
+    committed_after_kill = (
+        len([f for f in os.listdir(metrics_dir) if f.endswith(".parquet")])
+        if os.path.isdir(metrics_dir)
+        else 0
+    )
+
+    # run 2: must complete, resuming past whatever survived
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # validate with an independent session-free read
+    import duckdb
+
+    kept = duckdb.sql(f"SELECT repo, path, commit FROM '{out}/kept/*/*.parquet'").df()
+    quar_files = os.path.isdir(os.path.join(out, "quarantine"))
+    quar = (
+        duckdb.sql(f"SELECT repo, path, commit FROM '{out}/quarantine/*/*.parquet'").df()
+        if quar_files
+        else None
+    )
+    total = len(kept) + (len(quar) if quar is not None else 0)
+    assert total == len(input_pdf), f"killed={killed} committed_at_kill={committed_after_kill}"
+    # no duplicate rows anywhere
+    assert not kept.duplicated().any()
+    if quar is not None:
+        assert not quar.duplicated().any()
+    # exactly one lineage row per bucket
+    m = duckdb.sql(f"SELECT bucket, count(*) c FROM '{out}/metrics/*.parquet' GROUP BY 1").df()
+    assert (m["c"] == 1).all()
