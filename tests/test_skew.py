@@ -1,0 +1,40 @@
+"""Skew handling: the fixture's hot repo (~30% of all rows) must spread
+uniformly across buckets after salting — the north_rule's giant-repo
+scenario, measured."""
+
+import numpy as np
+
+from data_quality_with_nessie_spark import skew
+from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+
+
+def test_salted_buckets_balanced_under_skew(spark, fixture_pdf, input_pdf):
+    share = (fixture_pdf["repo"] == "bigorg/monorepo").mean()
+    assert share > 0.2  # the skew is real in the input
+
+    sdf = spark.createDataFrame(input_pdf, schema=SOURCE_FILES)
+    n_buckets = 32
+    counts = (
+        skew.with_bucket(sdf, n_buckets)
+        .groupBy("bucket")
+        .count()
+        .toPandas()
+        .set_index("bucket")["count"]
+    )
+    assert len(counts) == n_buckets  # every bucket populated
+    ratio = counts.max() / counts.mean()
+    # naive repo-key partitioning would put >30% of rows in one task
+    # (ratio ≥ ~9.6 at 32 buckets); salted hashing keeps it near uniform
+    assert ratio < 1.5, f"max/mean bucket ratio {ratio:.2f}"
+    # deterministic: same rows → same buckets (resume safety)
+    counts2 = (
+        skew.with_bucket(sdf, n_buckets).groupBy("bucket").count().toPandas()
+        .set_index("bucket")["count"]
+    )
+    assert counts.sort_index().equals(counts2.sort_index())
+
+
+def test_bucket_count_caps_files_per_task():
+    assert skew.choose_bucket_count(10_000) == skew.DEFAULT_BUCKETS
+    assert skew.choose_bucket_count(10_000_000) == 200
+    assert skew.choose_bucket_count(10**12) == 20_000_000
