@@ -60,13 +60,26 @@ class LocalCatalog:
         return os.path.join(self.root, "staging", run_id)
 
     # ---- committed-state introspection ------------------------------------
+    def _committed_metric_files(self) -> list[str]:
+        """Finished lineage files only — a crash can leave a half-written
+        ``.tmp`` beside them (kill-during-commit window); those are stale
+        by definition (the rename never happened) and are purged here."""
+        mdir = os.path.join(self.root, METRICS)
+        out = []
+        for f in os.listdir(mdir):
+            path = os.path.join(mdir, f)
+            if f.endswith(".tmp"):
+                os.remove(path)
+            elif f.endswith(".parquet"):
+                out.append(path)
+        return out
+
     def committed_buckets(self, spark: SparkSession) -> set[int]:
         """Bucket ids already merged into main (from the metrics table)."""
-        mdir = os.path.join(self.root, METRICS)
-        files = [f for f in os.listdir(mdir) if f.endswith(".parquet")]
+        files = self._committed_metric_files()
         if not files:
             return set()
-        tbl = pq.read_table(mdir, columns=["bucket"])
+        tbl = pq.read_table(files, columns=["bucket"])
         return set(tbl.column("bucket").to_pylist())
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
@@ -101,10 +114,9 @@ class LocalCatalog:
                     continue
                 bucket = int(entry.split("=", 1)[1])
                 if committed is None:
-                    mdir = os.path.join(self.root, METRICS)
-                    files = [f for f in os.listdir(mdir) if f.endswith(".parquet")]
+                    files = self._committed_metric_files()
                     committed = (
-                        set(pq.read_table(mdir, columns=["bucket"]).column("bucket").to_pylist())
+                        set(pq.read_table(files, columns=["bucket"]).column("bucket").to_pylist())
                         if files
                         else set()
                     )
