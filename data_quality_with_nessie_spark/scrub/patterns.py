@@ -43,8 +43,13 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
         "<AWS_KEY>",
     ),
     (
+        # NB: explicit whitespace class, NOT \s — Python re.ASCII \s
+        # includes \x0b (vertical tab) but RE2's does not, so \s here
+        # would make the Arrow path miss key blocks containing \x0b
+        # (byte-identicality violation, found by execution in round 1).
         "private_key_block",
-        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\s]*-----END [A-Z ]*PRIVATE KEY-----",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=" "\t\n\x0b\f\r "
+        r"]*-----END [A-Z ]*PRIVATE KEY-----",
         "<PRIVATE_KEY>",
     ),
     (
@@ -53,7 +58,8 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
         # replaced. \x22 = double quote, \x27 = single quote (avoids
         # quote-escaping divergence between engines).
         "api_token",
-        r"((?:api[_-]?key|apikey|secret|token|passwd|password)[\x22\x27]?\s*[:=]\s*[\x22\x27]?)[A-Za-z0-9_\-]{16,}",
+        r"((?:api[_-]?key|apikey|secret|token|passwd|password)[\x22\x27]?"
+        r"[\t\n\x0b\f\r ]*[:=][\t\n\x0b\f\r ]*[\x22\x27]?)[A-Za-z0-9_\-]{16,}",
         r"\1<SECRET>",
     ),
     (
@@ -109,10 +115,13 @@ def scrub_series(s: pd.Series) -> pd.Series:
         if name == "api_token":
             # every alternation branch contains one of these literals;
             # scan a lowered copy instead of running the (?i) regex on
-            # every row — by far the most expensive pattern otherwise
+            # every row — by far the most expensive pattern otherwise.
+            # 'passw' (not 'passwd') is the prefix covering BOTH the
+            # passwd and password branches; round 1 shipped 'passwd'
+            # and silently skipped every 'password = …' row.
             low = out.str.lower()
             mask = pd.Series(False, index=out.index)
-            for lit in ("key", "secret", "token", "passwd"):
+            for lit in ("key", "secret", "token", "passw"):
                 mask |= low.str.contains(lit, regex=False).fillna(False)
         else:
             lit = _PREFILTER.get(name)
