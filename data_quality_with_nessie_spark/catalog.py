@@ -103,8 +103,55 @@ class LocalCatalog:
         )
 
     # ---- commit ------------------------------------------------------------
+    def lineage_by_bucket(self) -> dict[int, dict]:
+        """Latest lineage row per committed bucket (driver-side; the
+        metrics table is one row per bucket commit — tiny vs the data)."""
+        out: dict[int, dict] = {}
+        for path in self._committed_metric_files():
+            tbl = pq.read_table(path)
+            for row in tbl.to_pylist():
+                prev = out.get(row["bucket"])
+                if prev is None or row["committed_at"] >= prev["committed_at"]:
+                    out[row["bucket"]] = row
+        return out
+
+    def invalidate_buckets(self, buckets: set[int]) -> None:
+        """Un-commit buckets whose input changed since their commit.
+
+        Lineage rows are removed FIRST, then the published bucket dirs —
+        so a crash between the two leaves the bucket merely uncommitted
+        (rolled back + reprocessed by the next run), never a lineage row
+        pointing at deleted data.
+        """
+        if not buckets:
+            return
+        mdir = os.path.join(self.root, METRICS)
+        for f in list(os.listdir(mdir)):
+            if not f.endswith(".parquet"):
+                continue
+            stem = f[: -len(".parquet")]
+            try:
+                bucket = int(stem.rsplit("-", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if bucket in buckets:
+                os.remove(os.path.join(mdir, f))
+        for table in (KEPT, QUARANTINE):
+            for bucket in buckets:
+                path = os.path.join(self.root, table, f"bucket={bucket}")
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+
     def rollback_uncommitted(self) -> list[int]:
-        """Delete final bucket dirs that lack a lineage row (crash window)."""
+        """Delete final bucket dirs that lack a lineage row (crash window),
+        and purge staging dirs left by dead runs. Single-writer protocol:
+        this is called at run start, so every existing staging dir belongs
+        to a run that is no longer alive (clean completion drops its own
+        branch) — without this purge, crash-resume cycles leak staged data
+        forever."""
+        sdir = os.path.join(self.root, "staging")
+        for entry in os.listdir(sdir):
+            shutil.rmtree(os.path.join(sdir, entry), ignore_errors=True)
         committed = None
         rolled: list[int] = []
         for table in (KEPT, QUARANTINE):
@@ -133,6 +180,7 @@ class LocalCatalog:
         rows_out: int,
         rule_hits: dict[str, int],
         started_at: dt.datetime,
+        keys_xor: int = 0,
     ) -> None:
         """Atomic publish of one bucket: rename staged dirs + lineage row.
 
@@ -153,6 +201,7 @@ class LocalCatalog:
             "commit_ref": uuid.uuid4().hex,
             "rows_in": rows_in,
             "rows_out": rows_out,
+            "keys_xor": keys_xor,
             "rule_hits": rule_hits,
             "started_at": started_at,
             "committed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
@@ -164,6 +213,7 @@ class LocalCatalog:
                 pa.field("commit_ref", pa.string()),
                 pa.field("rows_in", pa.int64()),
                 pa.field("rows_out", pa.int64()),
+                pa.field("keys_xor", pa.int64()),
                 pa.field("rule_hits", pa.map_(pa.string(), pa.int64())),
                 pa.field("started_at", pa.timestamp("us")),
                 pa.field("committed_at", pa.timestamp("us")),

@@ -25,7 +25,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -42,6 +42,12 @@ _SCORED_FIELDS = [
     T.StructField("perplexity_reject", T.BooleanType(), True),
     T.StructField("scrubbed_content", T.StringType(), True),
 ]
+
+
+def _keys_hash() -> Column:
+    """Per-row key hash whose bucket-level XOR signs the exact key set
+    (order-independent, overflow-free — sum would overflow under ANSI)."""
+    return F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
 
 
 def _score_scrub_batches(batches):
@@ -122,6 +128,7 @@ def run(
     catalog: LocalCatalog,
     n_buckets: int = skew.DEFAULT_BUCKETS,
     bucket_offset: int = 0,
+    verify_committed: bool = True,
 ) -> dict:
     """One resumable pipeline run. Returns a summary dict.
 
@@ -131,6 +138,14 @@ def run(
     reference's NOT-IN re-ingest dedup, ``ingest.py:70-83``, done as an
     anti-filter on the committed set — and unlike the reference's
     ``ingest.py:98`` wart, the frame we count is the frame we write).
+
+    ``verify_committed`` guards against a changed input: a committed
+    bucket is skipped only if its CURRENT (count, xor-of-key-hashes)
+    matches its lineage row; otherwise the bucket is invalidated and
+    fully reprocessed, so re-running after the input directory gained
+    files never silently drops them. The check is one column-pruned
+    aggregation over the key columns (no content read, no scoring) —
+    disable it only for inputs contractually immutable per catalog root.
     """
     started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     catalog.rollback_uncommitted()
@@ -145,6 +160,32 @@ def run(
     pending = skew.with_bucket(source, n_buckets)
     if bucket_offset:
         pending = pending.withColumn("bucket", F.col("bucket") + F.lit(bucket_offset))
+    # only buckets this source CAN produce are in scope for verification —
+    # other epochs' buckets (streaming) legitimately have zero rows here.
+    scope = {b for b in committed if bucket_offset <= b < bucket_offset + n_buckets}
+    if scope and verify_committed:
+        lineage = catalog.lineage_by_bucket()
+        current = {
+            r["bucket"]: (r["n"], r["kx"])
+            for r in pending.filter(F.col("bucket").isin(sorted(scope)))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(_keys_hash()).alias("kx"),
+            )
+            .collect()
+        }
+        changed = set()
+        for b in sorted(scope):
+            li = lineage.get(b)
+            n, kx = current.get(b, (0, 0))
+            if li is None or n != li["rows_in"] or (
+                li.get("keys_xor") is not None and kx != li["keys_xor"]
+            ):
+                changed.add(b)
+        if changed:
+            catalog.invalidate_buckets(changed)
+            committed -= changed
     if committed:
         pending = pending.filter(~F.col("bucket").isin(sorted(committed)))
     classified = classify(pending, n_buckets, bucketed=True)
@@ -174,6 +215,7 @@ def run(
         aggs = [
             F.count(F.lit(1)).alias("rows_in"),
             F.sum(F.col("keep").cast("long")).alias("rows_out"),
+            F.bit_xor(_keys_hash()).alias("keys_xor"),
             *[
                 F.sum(F.col(f"rule_{n}").cast("long")).alias(f"hits_{n}")
                 for n in RULE_NAMES
@@ -192,6 +234,7 @@ def run(
             rows_out=s["rows_out"] or 0,
             rule_hits={n: int(s[f"hits_{n}"] or 0) for n in RULE_NAMES},
             started_at=started,
+            keys_xor=int(s["keys_xor"] or 0),
         )
     catalog.drop_branch(run_id)
     return {

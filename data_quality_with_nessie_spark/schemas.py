@@ -55,6 +55,11 @@ METRICS = T.StructType(
         T.StructField("commit_ref", T.StringType(), False),
         T.StructField("rows_in", T.LongType(), False),
         T.StructField("rows_out", T.LongType(), False),
+        # XOR of xxhash64(repo,path,commit) over the bucket's input rows:
+        # an order-independent signature of the exact row-key set, used by
+        # resume to detect that a committed bucket's input has since
+        # changed (grown/shrunk/replaced) and must be reprocessed.
+        T.StructField("keys_xor", T.LongType(), True),
         T.StructField("rule_hits", T.MapType(T.StringType(), T.LongType()), True),
         T.StructField("started_at", T.TimestampType(), True),
         T.StructField("committed_at", T.TimestampType(), True),

@@ -16,6 +16,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _available_gb() -> int:
+    """Currently-available host memory in GiB (MemAvailable; falls back
+    to total, then to a conservative 8)."""
+    try:
+        keys = {}
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                parts = line.split()
+                keys[parts[0].rstrip(":")] = int(parts[1])
+        kb = keys.get("MemAvailable", keys.get("MemTotal", 8 * 1024 * 1024))
+        return max(1, kb // (1024 * 1024))
+    except OSError:
+        return 8
+
+
 def get_spark(
     app_name: str = "data_quality_with_nessie_spark",
     master: str | None = None,
@@ -35,6 +50,23 @@ def get_spark(
     # allocations in the heap faults each page once per worker lifetime.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
+    # heap defaults derived from the HOST, not hardcoded: a fixed 48g/-Xms24g
+    # fails to start (or swaps) on small machines. Overridable per knob via
+    # env (SPARK_GRAFT_DRIVER_MEM / SPARK_GRAFT_JAVA_OPTS) or extra_conf.
+    avail_gb = _available_gb()
+    driver_mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", f"{max(2, min(48, int(avail_gb * 0.5)))}g"
+    )
+    xms_gb = max(1, min(24, int(driver_mem.rstrip('gG')) // 2)) if driver_mem.rstrip(
+        "gG"
+    ).isdigit() else 2
+    java_opts = os.environ.get(
+        "SPARK_GRAFT_JAVA_OPTS",
+        # ParallelGC + committed Xms: see the conf comment below.
+        f"-Xms{xms_gb}g -XX:+UseParallelGC",
+    )
+
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
@@ -47,12 +79,12 @@ def get_spark(
     conf = {
         # local mode = one JVM; the driver heap is the ONLY memory knob.
         # The 1g default causes GC thrash as parallelism grows.
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        "spark.driver.memory": driver_mem,
         # ParallelGC + a committed Xms: G1 uncommits heap regions between
         # jobs, so every run re-faults gigabytes (measured ~700k minor
         # faults/run); ParallelGC holds the heap once faulted, and for a
         # throughput batch engine its pauses are irrelevant.
-        "spark.driver.extraJavaOptions": "-Xms24g -XX:+UseParallelGC",
+        "spark.driver.extraJavaOptions": java_opts,
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
