@@ -76,11 +76,14 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    # dims are orders-of-magnitude smaller than the fact: broadcast every
-    # one — zero shuffle until the final groupBy (one shuffle on (r,n)).
+    # broadcast ONLY the true dims (nation/region: fixed-cardinality,
+    # O(100) rows at any scale). orders scales at ~¼ of lineitem and
+    # customer scales with orders — broadcasting those OOMs at 100×;
+    # they shuffle (AQE picks sort-merge vs shuffled-hash at runtime,
+    # and converts to broadcast itself only if stats justify it).
     joined = (
-        lineitem.join(F.broadcast(orders), lineitem["l_orderkey"] == orders["o_orderkey"], "left")
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left")
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left")
+        .join(customer, orders["o_custkey"] == customer["c_custkey"], "left")
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left")
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "left")
     )
