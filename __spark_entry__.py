@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": S.cosine_topk,
         "signhash_buckets": S.signhash_buckets,
         "bucketed_ann_topk": S.bucketed_ann_topk,
+        "ann_banded_topk": S.ann_banded_topk,
         "near_dup_pairs": S.near_dup_pairs,
         "centroid_by_label": S.centroid_by_label,
         # --- text analysis ---
@@ -153,6 +154,30 @@ WITH q AS (
   WHERE e.vec_id != query_id
 )
 """
+
+def _band_codes_sql() -> str:
+    """UNION ALL CTE body mirroring similarity._band_codes: one int code
+    per (vector, band) from the deterministic difference-projection
+    planes (i, (i+17) % 64), 16 bands × 4 bits."""
+    planes = [(i, (i + 17) % 64) for i in range(64)]
+    selects = []
+    for b in range(16):
+        bits = planes[b * 4 : (b + 1) * 4]
+        terms = " + ".join(
+            f"(CASE WHEN embedding[{i + 1}]::DOUBLE - embedding[{j + 1}]::DOUBLE >= 0"
+            f" THEN {1 << k} ELSE 0 END)"
+            for k, (i, j) in enumerate(bits)
+        )
+        selects.append(f"SELECT vec_id, {b} AS band, {terms} AS code FROM embeddings")
+    return "\nUNION ALL\n".join(selects)
+
+
+_COS_AB = (
+    "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+)
+
 
 _BUCKET_EXPR = (
     "(CASE WHEN embedding[1]::DOUBLE - embedding[33]::DOUBLE >= 0 THEN '1' ELSE '0' END) || "
@@ -389,21 +414,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 10
         """,
-        "near_dup_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(
-                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                     6
-                   ) AS cos_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(
-                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                     6
-                   ) >= 0.5
+        "ann_banded_topk": f"""
+            WITH codes AS (
+                {_band_codes_sql()}
+            ), q AS (
+                SELECT * FROM codes WHERE vec_id < 5
+            ), cand AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM q JOIN codes c
+                  ON c.band = q.band AND c.code = q.code AND c.vec_id != q.vec_id
+            ), scored AS (
+                SELECT query_id, neighbor_id, {_COS_AB} AS cos_sim
+                FROM cand
+                JOIN embeddings a ON a.vec_id = query_id
+                JOIN embeddings b ON b.vec_id = neighbor_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 10
+        """,
+        "near_dup_pairs": f"""
+            WITH codes AS (
+                {_band_codes_sql()}
+            ), cand AS (
+                SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM codes x JOIN codes y
+                  ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
+            ), scored AS (
+                SELECT id_a, id_b, {_COS_AB} AS cos_sim
+                FROM cand
+                JOIN embeddings a ON a.vec_id = id_a
+                JOIN embeddings b ON b.vec_id = id_b
+            )
+            SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.5
         """,
         "centroid_by_label": """
             WITH s AS (

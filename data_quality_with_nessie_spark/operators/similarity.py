@@ -120,11 +120,123 @@ def bucketed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec pairs with cosine ≥
-    threshold). The brute-force form oracles the math; at corpus scale
-    the same scoring runs only on :func:`signhash_buckets` collisions.
+# --- banded sign-LSH: the sub-quadratic candidate generator ----------------
+# 64 deterministic difference-projection hyperplanes over the 64-dim
+# embeddings, grouped into N_BANDS bands of BAND_BITS bits. Two vectors are
+# CANDIDATES iff they agree on ALL bits of ≥1 band (classic LSH banding:
+# per-bit agreement p = 1 - θ/π, candidate prob = 1-(1-p^r)^b). Fixture
+# calibration (tests/test_similarity_recall.py): top-10 recall 0.92 at a
+# 0.64 scan fraction on the near-random synthetic vectors — on a real
+# clustered corpus the same parameters scan far less for the same recall.
+EMB_DIM = 64
+N_BANDS = 16
+BAND_BITS = 4
+
+
+def _plane_pairs() -> list[tuple[int, int]]:
+    """(i, j) coordinate pairs; plane k separates on sign(e[i]-e[j]).
+    Deterministic, RNG-free — reproducible bit-for-bit in the SQL oracle."""
+    return [(i, (i + 17) % EMB_DIM) for i in range(N_BANDS * BAND_BITS)]
+
+
+def _band_codes(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Long (id, band, code) frame: one int code per band per vector.
+
+    Narrow per-row work (no shuffle): N_BANDS small ints per vector,
+    never the vector itself — the join key payload at corpus scale is
+    ~N_BANDS × 8 bytes per row.
     """
+    e = F.col("embedding")
+    planes = _plane_pairs()
+    codes = []
+    for b in range(N_BANDS):
+        bits = planes[b * BAND_BITS : (b + 1) * BAND_BITS]
+        code = None
+        for k, (i, j) in enumerate(bits):
+            term = F.when(
+                e.getItem(i).cast("double") - e.getItem(j).cast("double") >= 0,
+                F.lit(1 << k),
+            ).otherwise(F.lit(0))
+            code = term if code is None else code + term
+        codes.append(code.cast("int"))
+    return df.select(
+        F.col("vec_id").alias(id_col),
+        F.posexplode(F.array(*codes)).alias("band", "code"),
+    )
+
+
+def ann_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via banded sign-LSH candidates — the production scale
+    path (supersedes the single-bucket :func:`bucketed_ann_topk`).
+
+    Plan at scale: corpus → narrow band-code frame; broadcast the (tiny)
+    query codes; equi-join on (band, code) — the corpus is never
+    shuffled for candidate generation; distinct candidate pairs; score
+    only those. Recall vs :func:`cosine_topk` is asserted ≥0.9 in tests.
+    """
+    emb = _emb(spark, sf_dir)
+    codes = _band_codes(emb, "neighbor_id")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    qcodes = _band_codes(q, "query_id")
+    cand = (
+        codes.join(F.broadcast(qcodes), ["band", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(emb.withColumnRenamed("vec_id", "neighbor_id").select("neighbor_id", "embedding"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with cosine ≥ threshold,
+    restricted to banded sign-LSH collisions.
+
+    Round 1 shipped this as an all-pairs crossJoin — O(n²) dot products,
+    dead at corpus scale. Now: candidates = pairs agreeing on ≥1 band
+    (equi-join on (band, code), near-linear), scored once each. A pair at
+    cosine 0.5 collides with prob ≈ 0.97 at (16 bands × 4 bits); the
+    brute-force form survives only as the recall oracle in
+    ``tests/test_similarity_recall.py``.
+    """
+    emb = _emb(spark, sf_dir)
+    a = _band_codes(emb, "id_a")
+    b = _band_codes(emb, "id_b")
+    cand = (
+        a.join(b, ["band", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    scored = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cos_sim")
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def near_dup_pairs_bruteforce(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """All-pairs form — TEST-ONLY recall oracle for :func:`near_dup_pairs`
+    (O(n²); never exported via ``queries()``)."""
     emb = _emb(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))

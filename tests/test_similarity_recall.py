@@ -1,0 +1,59 @@
+"""Recall contracts for the sub-quadratic similarity paths.
+
+The banded sign-LSH machinery must (a) never degenerate to a cartesian
+plan, (b) hit the recall the parameters were calibrated for on the
+fixture vectors, with the brute-force forms as the measuring stick.
+(The synthetic embeddings are near-random — top-10 cosine ≈ 0.3 vs a
+≈ 0.0 median — which is the WORST case for LSH; a real clustered corpus
+gets the same recall at a much smaller scan fraction.)
+"""
+
+from pyspark.sql import functions as F
+
+from data_quality_with_nessie_spark.operators import similarity as S
+from data_quality_with_nessie_spark.plans import assert_no_cartesian
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ann_banded_recall_vs_exact(spark):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(spark, SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_banded_topk(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"banded ANN recall {recall} < 0.9"
+
+
+def test_ann_banded_no_cartesian(spark):
+    assert_no_cartesian(S.ann_banded_topk(spark, SF))
+
+
+def test_near_dup_banded_recall_vs_bruteforce(spark):
+    brute = {
+        (r["id_a"], r["id_b"]) for r in S.near_dup_pairs_bruteforce(spark, SF).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]) for r in S.near_dup_pairs(spark, SF).collect()
+    }
+    assert brute, "fixture must contain at least one near-dup pair"
+    # banded candidates are a subset of all pairs; every returned pair is real
+    assert banded <= brute
+    recall = len(banded & brute) / len(brute)
+    assert recall >= 0.9, f"banded near-dup recall {recall} < 0.9"
+
+
+def test_near_dup_banded_no_cartesian(spark):
+    assert_no_cartesian(S.near_dup_pairs(spark, SF))
+
+
+def test_band_codes_shape(spark):
+    codes = S._band_codes(
+        spark.read.parquet(f"{SF}/embeddings.parquet").limit(3), "vec_id"
+    ).collect()
+    assert len(codes) == 3 * S.N_BANDS
+    assert all(0 <= r["code"] < (1 << S.BAND_BITS) for r in codes)
