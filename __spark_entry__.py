@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": D.exact_dedup,
         "minhash_signatures": D.minhash_signatures,
         "lsh_candidate_pairs": D.lsh_candidate_pairs,
+        "lsh_jaccard_verified": D.lsh_jaccard_verified,
+        "dedup_clusters": D.dedup_clusters,
         "ngram_jaccard_topk": D.ngram_jaccard_topk,
         "simhash16": D.simhash16,
         # --- similarity search ---
@@ -136,6 +138,32 @@ WITH t AS (
   SELECT doc_id, band, min(md5(band::VARCHAR || ':' || shingle)) AS minhash
   FROM sh CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS band) bands
   GROUP BY doc_id, band
+)
+"""
+
+# LSH candidates → exact-Jaccard verify, shared by two oracles. Extends
+# the minhash CTE: cand = band-collision pairs, verified = those at
+# shingle-set Jaccard ≥ 0.8 (operators.dedup.JACCARD_THRESHOLD).
+_VERIFIED_PAIRS_CTE = _MINHASH_SIG_CTE + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+), verified AS (
+  SELECT doc_a, doc_b,
+         round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.8
 )
 """
 
@@ -331,6 +359,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM sig a JOIN sig b
               ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        """,
+        "lsh_jaccard_verified": _VERIFIED_PAIRS_CTE
+        + "SELECT doc_a, doc_b, jaccard FROM verified",
+        # connected components via transitive closure (recursive CTE):
+        # fine at oracle scale; the Spark side is O(diameter) min-label
+        # propagation, the form that survives corpus scale.
+        "dedup_clusters": _VERIFIED_PAIRS_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + """
+        , und AS (
+            SELECT doc_a AS s, doc_b AS d FROM verified
+            UNION
+            SELECT doc_b, doc_a FROM verified
+        ), reach(s, d) AS (
+            SELECT s, d FROM und
+            UNION
+            SELECT r.s, u.d FROM reach r JOIN und u ON u.s = r.d
+        )
+        SELECT least(s, min(d)) AS cluster_id,
+               s AS doc_id,
+               (least(s, min(d)) = s) AS is_keeper
+        FROM reach GROUP BY s
         """,
         "ngram_jaccard_topk": f"""
             WITH t AS (

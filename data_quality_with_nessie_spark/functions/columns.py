@@ -34,6 +34,19 @@ def scalable_surrogate_key(*cols: str | Column) -> Column:
     return F.xxhash64(*cols)
 
 
+def doc_key_id() -> Column:
+    """Portable 60-bit row id from the key triple (md5-prefix → bigint).
+
+    Used to join the near-dup drop set back onto rows: an 8-byte join
+    payload instead of three strings. md5 (not xxhash64) so the frozen
+    pandas labeler reproduces it bit-for-bit. At 10^12-row scale upgrade
+    to the full 128-bit digest as two longs — 60 bits birthday-collide
+    around 10^9 rows per dedup scope.
+    """
+    key = F.concat_ws("\x1f", F.col("repo"), F.col("path"), F.col("commit"))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
 def missing_pct(col: str | Column) -> Column:
     """Null-rate percentage (SodaCL ``missing_percent``, reference
     ``bronze_amazon_orders.yaml:12-47``) — one agg expression, so any

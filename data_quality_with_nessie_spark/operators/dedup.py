@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 N_BANDS = 8
+# Planted fixture near-dups sit at jaccard ≥ 0.96 with the background
+# below 0.4 — 0.8 separates cleanly with margin on both sides, and is a
+# common production cut for 3-word shingles.
+JACCARD_THRESHOLD = 0.8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,16 +72,16 @@ def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     return sh.distinct()
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(doc, band) MinHash: min over shingles of md5(band ':' shingle).
+def minhash_signature_frame(docs: DataFrame) -> DataFrame:
+    """Per-(doc, band) MinHash over a ``(doc_id, text)`` frame: min over
+    shingles of md5(band ':' shingle).
 
     A salted-hash family via the band id — the fastText-paper-style
     "k independent hash functions" realized portably (md5 is identical
     hex in every engine, so the oracle can reproduce it bit-for-bit).
     """
-    docs = _docs(spark, sf_dir)
     sh = _shingles(docs)
-    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    bands = docs.sparkSession.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
     return (
         sh.crossJoin(F.broadcast(bands))
         .select(
@@ -90,12 +94,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signature_frame(_docs(spark, sf_dir))
+
+
+def candidate_pairs_frame(docs: DataFrame) -> DataFrame:
     """Near-dup candidates: doc pairs agreeing on ≥1 band's minhash.
 
     The scale path: equi-join on (band, minhash) — no O(n²) compare.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    sig = minhash_signature_frame(docs)
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -104,6 +112,110 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candidate_pairs_frame(_docs(spark, sf_dir))
+
+
+def verified_pairs_frame(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """The production LSH→Jaccard composition: exact shingle-set Jaccard
+    computed ONLY for LSH candidate pairs (the claim round 1 made in a
+    docstring, now real code).
+
+    Work is linear in Σ(candidate pairs × shingles-per-doc), never in
+    n² — joining the candidate list back to the shingle frame fans each
+    pair out to its shingles and counts matches; candidates that share a
+    band minhash share ≥1 shingle by construction, so the inner join
+    loses nothing.
+    """
+    cand = candidate_pairs_frame(docs)
+    sh = _shingles(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return verified_pairs_frame(_docs(spark, sf_dir))
+
+
+def cluster_frame(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list → one keeper per
+    cluster: ``(cluster_id, doc_id, is_keeper)``.
+
+    Iterative min-label propagation (the GraphX/large-scale-CC shape,
+    no graph library needed): each round every node adopts the minimum
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (mostly pairs and
+    small stars), so 2-4 rounds in practice. ``localCheckpoint`` cuts
+    the lineage per round so the plan does not grow with iterations.
+    The per-round convergence count is a driver-side scalar action, not
+    a collect of data.
+    """
+    und = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    und = und.persist()
+    labels = (
+        und.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                und.join(labels, und["src"] == labels["doc_id"])
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new = (
+                labels.select("doc_id", F.col("label").alias("old_label"))
+                .join(nbr, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "old_label",
+                    F.least(F.col("old_label"), F.coalesce("nbr_min", F.col("old_label"))).alias(
+                        "label"
+                    ),
+                )
+            ).localCheckpoint()
+            changed = new.filter(F.col("label") != F.col("old_label")).count()
+            labels = new.select("doc_id", "label")
+            if changed == 0:
+                break
+    finally:
+        und.unpersist()
+    return labels.select(
+        F.col("label").alias("cluster_id"),
+        "doc_id",
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering over ``documents``: LSH candidates
+    → exact Jaccard verify → connected components → keeper per cluster.
+    Only docs participating in ≥1 verified near-dup pair appear."""
+    return cluster_frame(verified_pairs_frame(_docs(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -141,6 +253,25 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k_pairs: int = 20) -> D
         )
     )
     return scored.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(k_pairs)
+
+
+def near_dup_drop_ids(source: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Near-duplicate NON-keepers of a pipeline input frame, as one
+    column of ``doc_id`` = :func:`~...functions.columns.doc_key_id`.
+
+    The full corpus-level dedup pre-pass: content → shingle MinHash →
+    LSH candidates → exact-Jaccard verify → connected components → keep
+    the min-id member of each cluster, drop the rest. Joining the drop
+    set back on the 8-byte hash (not the string key triple) keeps the
+    classify-side shuffle payload minimal at corpus scale.
+    """
+    from ..functions.columns import doc_key_id
+
+    docs = source.select(
+        doc_key_id().alias("doc_id"), F.col("content").alias("text")
+    )
+    clusters = cluster_frame(verified_pairs_frame(docs, threshold))
+    return clusters.filter(~F.col("is_keeper")).select("doc_id")
 
 
 # ---------------------------------------------------------------------------

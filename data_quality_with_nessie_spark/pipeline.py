@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from . import skew
 from .catalog import KEPT, QUARANTINE, LocalCatalog
+from .functions.columns import doc_key_id
 from .rules.registry import RULE_NAMES, RULES, reasons_column
 from .schemas import SOURCE_FILES
 
@@ -85,7 +86,10 @@ def _score_scrub_batches(batches):
 
 
 def classify(
-    df: DataFrame, n_buckets: int = skew.DEFAULT_BUCKETS, bucketed: bool = False
+    df: DataFrame,
+    n_buckets: int = skew.DEFAULT_BUCKETS,
+    bucketed: bool = False,
+    drop_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Annotate every row with rule verdicts, keep flag, scrub + hashes.
 
@@ -93,6 +97,12 @@ def classify(
     ``bucket, rule_<name>..., keep, rejection_reasons, content_sha256,
     scrubbed_content, scrubbed_sha256``. Pass ``bucketed=True`` when the
     input already carries the ``bucket`` column (resume path).
+
+    ``drop_ids`` (one ``doc_id`` column of :func:`doc_key_id` values)
+    marks corpus-level near-duplicates: matching rows get the
+    ``near_dup`` rejection reason alongside the per-row rules. With
+    ``drop_ids=None`` the plan is untouched (single python stage, single
+    exchange — pinned by tests/test_plans.py).
     """
     if not bucketed:
         df = skew.with_bucket(df, n_buckets)
@@ -111,13 +121,24 @@ def classify(
         F.coalesce(F.col("perplexity_reject"), F.lit(False)).alias("rule_perplexity"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
     )
+    names = RULE_NAMES
+    if drop_ids is not None:
+        marker = drop_ids.select("doc_id").distinct().withColumn("_nd", F.lit(True))
+        flagged = (
+            flagged.withColumn("doc_id", doc_key_id())
+            .join(marker, "doc_id", "left")
+            .drop("doc_id")
+            .withColumn("rule_near_dup", F.coalesce(F.col("_nd"), F.lit(False)))
+            .drop("_nd")
+        )
+        names = RULE_NAMES + ("near_dup",)
     keep = ~F.array_contains(
-        F.array(*[F.col(f"rule_{n}") for n in RULE_NAMES]), F.lit(True)
+        F.array(*[F.col(f"rule_{n}") for n in names]), F.lit(True)
     )
     return flagged.select(
         "*",
         keep.alias("keep"),
-        reasons_column().alias("rejection_reasons"),
+        reasons_column(names).alias("rejection_reasons"),
         F.sha2(F.col("scrubbed_content"), 256).alias("scrubbed_sha256"),
     )
 
@@ -129,6 +150,7 @@ def run(
     n_buckets: int = skew.DEFAULT_BUCKETS,
     bucket_offset: int = 0,
     verify_committed: bool = True,
+    near_dup: bool = False,
 ) -> dict:
     """One resumable pipeline run. Returns a summary dict.
 
@@ -146,6 +168,11 @@ def run(
     files never silently drops them. The check is one column-pruned
     aggregation over the key columns (no content read, no scoring) —
     disable it only for inputs contractually immutable per catalog root.
+
+    ``near_dup=True`` runs the corpus-level near-duplicate pre-pass
+    (MinHash → LSH → Jaccard-verify → connected components, see
+    ``operators/dedup.py``) over the FULL source — clusters span
+    buckets — and quarantines non-keepers with a ``near_dup`` reason.
     """
     started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     catalog.rollback_uncommitted()
@@ -188,7 +215,15 @@ def run(
             committed -= changed
     if committed:
         pending = pending.filter(~F.col("bucket").isin(sorted(committed)))
-    classified = classify(pending, n_buckets, bucketed=True)
+
+    drop_ids = None
+    rule_names = RULE_NAMES
+    if near_dup:
+        from .operators.dedup import near_dup_drop_ids
+
+        drop_ids = near_dup_drop_ids(source)
+        rule_names = RULE_NAMES + ("near_dup",)
+    classified = classify(pending, n_buckets, bucketed=True, drop_ids=drop_ids)
 
     kept_cols = INPUT_COLS + ["content_sha256", "scrubbed_content", "scrubbed_sha256", "bucket"]
     quarantine_cols = INPUT_COLS + ["content_sha256", "rejection_reasons", "bucket"]
@@ -218,7 +253,7 @@ def run(
             F.bit_xor(_keys_hash()).alias("keys_xor"),
             *[
                 F.sum(F.col(f"rule_{n}").cast("long")).alias(f"hits_{n}")
-                for n in RULE_NAMES
+                for n in rule_names
             ],
         ]
         stats = {r["bucket"]: r.asDict() for r in classified.groupBy("bucket").agg(*aggs).collect()}
@@ -232,7 +267,7 @@ def run(
             bucket,
             rows_in=s["rows_in"],
             rows_out=s["rows_out"] or 0,
-            rule_hits={n: int(s[f"hits_{n}"] or 0) for n in RULE_NAMES},
+            rule_hits={n: int(s[f"hits_{n}"] or 0) for n in rule_names},
             started_at=started,
             keys_xor=int(s["keys_xor"] or 0),
         )

@@ -97,12 +97,14 @@ def rule_columns(df: DataFrame) -> list[Column]:
     ]
 
 
-def reasons_column() -> Column:
-    """Sorted array of fired rule ids from the ``rule_*`` columns."""
+def reasons_column(names: tuple[str, ...] = RULE_NAMES) -> Column:
+    """Sorted array of fired rule ids from the ``rule_*`` columns.
+    ``names`` may extend RULE_NAMES with run-scoped corpus-level rules
+    (e.g. ``near_dup``) whose ``rule_<name>`` column the caller added."""
     pairs = F.array(
         *[
             F.when(F.col(f"rule_{name}"), F.lit(name)).otherwise(F.lit(None))
-            for name in RULE_NAMES
+            for name in names
         ]
     )
     return F.array_sort(F.filter(pairs, lambda x: x.isNotNull()))

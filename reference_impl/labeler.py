@@ -16,11 +16,85 @@ with the Spark pipeline via ``data_quality_with_nessie_spark.rules`` and
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 
 from data_quality_with_nessie_spark.rules.registry import RULES
 from data_quality_with_nessie_spark.scrub.patterns import scrub_series
+
+# Java \s (Spark's split regex class) — ASCII-only, unlike Python's \s.
+_WS = re.compile("[ \t\n\x0b\f\r]+")
+_N_BANDS = 8  # must equal operators.dedup.N_BANDS
+_SHINGLE_K = 3
+
+
+def _doc_key_id(repo: str, path: str, commit: str) -> int:
+    """Twin of functions.columns.doc_key_id (md5-prefix 60-bit int)."""
+    key = f"{repo}\x1f{path}\x1f{commit}".encode("utf-8")
+    return int(hashlib.md5(key).hexdigest()[:15], 16)
+
+
+def _shingle_set(text: str) -> set[str]:
+    toks = _WS.split(text.lower())
+    if len(toks) < _SHINGLE_K:
+        return set()
+    return {" ".join(toks[i : i + _SHINGLE_K]) for i in range(len(toks) - _SHINGLE_K + 1)}
+
+
+def near_dup_drop_mask(pdf: pd.DataFrame, threshold: float = 0.8) -> pd.Series:
+    """Single-process twin of ``operators.dedup.near_dup_drop_ids``:
+    MinHash (md5, 8 bands) → LSH candidates → exact shingle Jaccard →
+    union-find connected components → drop everything but the min-id
+    keeper per cluster. Same hash family as the Spark path, so the two
+    agree row-for-row, not just statistically."""
+    ids = [
+        _doc_key_id(r, p, c)
+        for r, p, c in zip(pdf["repo"], pdf["path"], pdf["commit"])
+    ]
+    shingles = [
+        _shingle_set(t) if isinstance(t, str) else set() for t in pdf["content"]
+    ]
+    # (band, minhash) → row indices
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, sh in enumerate(shingles):
+        if not sh:
+            continue
+        for band in range(_N_BANDS):
+            mh = min(hashlib.md5(f"{band}:{s}".encode("utf-8")).hexdigest() for s in sh)
+            buckets.setdefault((band, mh), []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for rows in buckets.values():
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                cand.add((rows[x], rows[y]))
+    # union-find over Jaccard-verified pairs
+    parent = list(range(len(pdf)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in cand:
+        inter = len(shingles[a] & shingles[b])
+        union = len(shingles[a] | shingles[b])
+        if union and round(inter / union, 6) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    clusters: dict[int, list[int]] = {}
+    for i in range(len(pdf)):
+        clusters.setdefault(find(i), []).append(i)
+    drop = [False] * len(pdf)
+    for members in clusters.values():
+        if len(members) > 1:
+            keeper = min(members, key=lambda i: ids[i])
+            for i in members:
+                if i != keeper:
+                    drop[i] = True
+    return pd.Series(drop, index=pdf.index)
 
 
 def _sha256_series(s: pd.Series) -> pd.Series:
@@ -29,15 +103,19 @@ def _sha256_series(s: pd.Series) -> pd.Series:
     )
 
 
-def label_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+def label_frame(pdf: pd.DataFrame, near_dup: bool = False) -> pd.DataFrame:
     """Label an input frame ``(repo,path,commit,lang,content)``.
 
     Returns FIXTURES.md §4 columns: join keys, content_sha256, keep,
     scrubbed_sha256 (kept rows only), reasons (sorted fired rule ids).
+    ``near_dup=True`` adds the corpus-level near-duplicate rule (twin of
+    ``pipeline.run(near_dup=True)``).
     """
     fired: dict[str, pd.Series] = {
         rule.name: rule.pandas(pdf).fillna(False).astype(bool) for rule in RULES
     }
+    if near_dup:
+        fired["near_dup"] = near_dup_drop_mask(pdf)
     names = sorted(fired)
     keep = ~pd.concat(fired.values(), axis=1).any(axis=1)
 

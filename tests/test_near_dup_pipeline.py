@@ -1,0 +1,92 @@
+"""End-to-end near-dup dedup through the pipeline: planted near-duplicate
+files are quarantined with a ``near_dup`` reason, exactly one keeper per
+cluster survives, and the Spark path agrees row-for-row with the frozen
+pandas labeler (same md5 MinHash spec on both sides)."""
+
+import pandas as pd
+import pytest
+
+from data_quality_with_nessie_spark.catalog import LocalCatalog
+from data_quality_with_nessie_spark.pipeline import run
+from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+
+KEYS = ["repo", "path", "commit"]
+
+
+@pytest.fixture(scope="module")
+def nd_input(input_pdf) -> pd.DataFrame:
+    from reference_impl.labeler import _shingle_set
+
+    base = input_pdf.head(400).copy()
+    # plant near-dups: a one-line edit, keeping only pairs whose true
+    # shingle Jaccard clears the 0.8 threshold (repetitive short docs can
+    # fall below it — those are correctly NOT near-dups per the spec)
+    suffix = "\ntrailing_edit = 1\n"
+
+    def _j(text):
+        a, b = _shingle_set(text), _shingle_set(text + suffix)
+        return len(a & b) / len(a | b) if (a | b) else 0.0
+
+    candidates = base[base["content"].str.len().fillna(0) > 600].head(15)
+    long_docs = candidates[candidates["content"].map(_j) >= 0.85].head(10).copy()
+    assert len(long_docs) >= 5
+    long_docs["path"] = "neardup/" + long_docs["path"]
+    long_docs["content"] = long_docs["content"] + suffix
+    return pd.concat([base, long_docs], ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def nd_outputs(spark, nd_input, tmp_path_factory):
+    cat = LocalCatalog(str(tmp_path_factory.mktemp("nd_catalog")))
+    sdf = spark.createDataFrame(nd_input, schema=SOURCE_FILES)
+    summary = run(spark, sdf, cat, n_buckets=8, near_dup=True)
+    kept = cat.read_table(spark, "kept").toPandas()
+    quar = cat.read_table(spark, "quarantine").toPandas()
+    metrics = cat.metrics_df(spark).toPandas()
+    return summary, kept, quar, metrics
+
+
+def test_near_dups_quarantined(nd_outputs, nd_input):
+    summary, kept, quar, _ = nd_outputs
+    assert len(kept) + len(quar) == len(nd_input)
+    reasons = quar["rejection_reasons"].map(list)
+    nd_rows = quar[reasons.map(lambda r: "near_dup" in r)]
+    assert len(nd_rows) > 0, "planted near-dups must be quarantined"
+    # each planted pair loses at least one side to near_dup (its cluster
+    # may be larger — the fixture also plants exact second-commit copies —
+    # so the surviving keeper can be a third member; never both sides kept)
+    planted = nd_input[nd_input["path"].str.startswith("neardup/")]
+    dropped_paths = set(nd_rows["path"])
+    for _, row in planted.iterrows():
+        orig_path = row["path"][len("neardup/") :]
+        pair_paths = {row["path"], orig_path}
+        assert pair_paths & dropped_paths, f"no near_dup drop in {pair_paths}"
+
+
+def test_near_dup_agrees_with_labeler(nd_outputs, nd_input):
+    from reference_impl.labeler import label_frame
+
+    _, kept, quar, _ = nd_outputs
+    labels = label_frame(nd_input, near_dup=True).set_index(KEYS)
+    got = pd.concat(
+        [
+            kept[KEYS].assign(keep=True, reasons=[[]] * len(kept)),
+            quar[KEYS].assign(keep=False, reasons=quar["rejection_reasons"].map(list).values),
+        ]
+    ).set_index(KEYS)
+    merged = labels.join(got, how="inner", rsuffix="_spark")
+    assert len(merged) == len(nd_input)
+    assert (merged["keep"] == merged["keep_spark"]).all() if "keep_spark" in merged else True
+    # exact keep agreement (shared spec → F1 must be 1.0, not just ≥0.99)
+    assert (labels["keep"] == got["keep"].reindex(labels.index)).all()
+    # reason lists agree on rejected rows
+    lab_r = labels.loc[~labels["keep"], "reasons"].map(tuple).sort_index()
+    got_r = got.loc[~got["keep"], "reasons"].map(tuple).reindex(lab_r.index)
+    assert (lab_r == got_r).all()
+
+
+def test_near_dup_lineage_hits(nd_outputs):
+    _, _, quar, metrics = nd_outputs
+    hits = sum(dict(h).get("near_dup", 0) for h in metrics["rule_hits"])
+    n_nd = quar["rejection_reasons"].map(lambda r: "near_dup" in list(r)).sum()
+    assert hits == n_nd > 0
