@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from data_quality_with_nessie_spark.operators import (
     dedup as D,
+    dedup_kernel as DK,
     events as E,
     relational as R,
     similarity as S,
@@ -99,6 +100,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": D.dedup_clusters,
         "ngram_jaccard_topk": D.ngram_jaccard_topk,
         "simhash16": D.simhash16,
+        # vectorized kernel forms (not SQL-expressible → rows-only driver
+        # check; gated against the md5-oracled forms in
+        # tests/test_dedup_kernel.py)
+        "minhash_bands_kernel": DK.minhash_bands_kernel,
+        "simhash64_kernel": DK.simhash64_kernel,
+        "lsh_candidate_pairs_kernel": DK.lsh_candidate_pairs_kernel,
         # --- similarity search ---
         "cosine_topk": S.cosine_topk,
         "signhash_buckets": S.signhash_buckets,

@@ -36,7 +36,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "minhash_signatures",
         "ngram_jaccard_topk",
         "simhash16",
+        # vectorized kernel twins of the two explode-based queries above —
+        # the bench shows the explode→kernel rewrite moved the curve
+        "minhash_bands_kernel",
+        "simhash64_kernel",
+        # end-to-end near-dup dedup (LSH → Jaccard verify → clusters)
+        "lsh_jaccard_verified",
+        "dedup_clusters",
         "cosine_topk",
+        "ann_banded_topk",
+        "near_dup_pairs",
         "quality_filter_documents",
         # the full pipeline (scorer UDFs + scrub)
         "quality_pipeline_docs",

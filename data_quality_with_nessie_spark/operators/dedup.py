@@ -118,7 +118,11 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs_frame(_docs(spark, sf_dir))
 
 
-def verified_pairs_frame(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def verified_pairs_frame(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
     """The production LSH→Jaccard composition: exact shingle-set Jaccard
     computed ONLY for LSH candidate pairs (the claim round 1 made in a
     docstring, now real code).
@@ -128,8 +132,13 @@ def verified_pairs_frame(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) 
     pair out to its shingles and counts matches; candidates that share a
     band minhash share ≥1 shingle by construction, so the inner join
     loses nothing.
+
+    ``candidates`` swaps in a different candidate generator (e.g. the
+    vectorized ``dedup_kernel.kernel_candidate_pairs_frame``) — the
+    Jaccard verification stage is generator-agnostic, so precision is
+    exact either way and only recall depends on the generator.
     """
-    cand = candidate_pairs_frame(docs)
+    cand = candidates if candidates is not None else candidate_pairs_frame(docs)
     sh = _shingles(docs)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -255,7 +264,11 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k_pairs: int = 20) -> D
     return scored.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(k_pairs)
 
 
-def near_dup_drop_ids(source: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def near_dup_drop_ids(
+    source: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    use_kernel: bool = False,
+) -> DataFrame:
     """Near-duplicate NON-keepers of a pipeline input frame, as one
     column of ``doc_id`` = :func:`~...functions.columns.doc_key_id`.
 
@@ -264,13 +277,25 @@ def near_dup_drop_ids(source: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     the min-id member of each cluster, drop the rest. Joining the drop
     set back on the 8-byte hash (not the string key triple) keeps the
     classify-side shuffle payload minimal at corpus scale.
+
+    ``use_kernel=True`` generates candidates with the vectorized 64-bit
+    MinHash (``dedup_kernel``) instead of the md5/explode path — same
+    Jaccard verification, so dropped rows are still exactly-verified
+    near-dups; prefer it at scale (no shingle-stream shuffle). The
+    default stays on the md5 path, which the frozen pandas labeler
+    reproduces bit-for-bit (golden tests).
     """
     from ..functions.columns import doc_key_id
 
     docs = source.select(
         doc_key_id().alias("doc_id"), F.col("content").alias("text")
     )
-    clusters = cluster_frame(verified_pairs_frame(docs, threshold))
+    candidates = None
+    if use_kernel:
+        from .dedup_kernel import kernel_candidate_pairs_frame
+
+        candidates = kernel_candidate_pairs_frame(docs)
+    clusters = cluster_frame(verified_pairs_frame(docs, threshold, candidates))
     return clusters.filter(~F.col("is_keeper")).select("doc_id")
 
 

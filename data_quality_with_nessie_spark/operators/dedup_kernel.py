@@ -1,0 +1,281 @@
+"""Vectorized 64-bit MinHash + SimHash — the kernel path for dedup.
+
+The md5/explode forms in ``dedup.py`` are the SQL-oracled spec: exact,
+portable, but they move the token/shingle stream through a shuffle ×8
+(MinHash bands) or ×16 (SimHash positions). At corpus scale that shuffle
+volume IS the cost. This module computes the same signatures-shaped
+output in ONE ``mapInArrow`` pass per batch, straight off the Arrow
+string buffers (zero string conversion, same discipline as
+``rules/kernel.py``): per document, 64 MinHash permutations over char
+8-gram hashes folded into 8 band signatures, and a 64-bit SimHash.
+
+Hash family: 64-bit polynomial rolling window finalized with the
+splitmix64 mixer; permutations are multiply-add over the mixed hash
+(wrap-around mod 2^64). Different family than the oracle's md5 — the
+candidate SETS agree on true near-dups (gated by
+``tests/test_dedup_kernel.py`` against the md5-verified pairs), while
+signatures themselves are family-specific by construction.
+
+Shuffle story at 10^12 files: signature generation is narrow (zero
+shuffle); the only shuffle is the LSH self-join keyed on
+(band, band_sig) — 12 bytes per row per band, never content.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..rules.kernel import _scratch, buffers_from_arrow, buffers_from_pandas
+
+NGRAM_K = 8  # char n-gram window, bytes
+MAX_HASH_BYTES = 16384  # sign the first N bytes of each doc (spec)
+N_PERM = 64
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+_U64 = np.uint64
+_MAXU64 = _U64(0xFFFFFFFFFFFFFFFF)
+_POLY_MULT = _U64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, in place — spreads the polynomial hash."""
+    with np.errstate(over="ignore"):
+        x += _U64(0x9E3779B97F4A7C15)
+        x ^= x >> _U64(30)
+        x *= _U64(0xBF58476D1CE4E5B9)
+        x ^= x >> _U64(27)
+        x *= _U64(0x94D049BB133111EB)
+        x ^= x >> _U64(31)
+    return x
+
+
+# deterministic permutation constants (seeded RNG is fine here — this is
+# module-level, not per-run; the family is part of the frozen spec)
+_rng = np.random.RandomState(0x5EED)
+_PERM_A = (_rng.randint(0, 2**63, size=N_PERM, dtype=np.int64).astype(np.uint64) << _U64(1)) | _U64(1)
+_PERM_B = _rng.randint(0, 2**63, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def _ngram_region(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Mixed 64-bit hashes of every char 8-gram over the batch region.
+
+    Same sentinel-masking shape as ``rules.kernel._hash_and_mask``:
+    valid positions for doc i are [rel_i, rel_i + nng_i); everything
+    else (boundary crossings, truncation excess, pad) is listed in the
+    returned ``invalid`` index array for the caller to neutralize per
+    permutation. Returns (h uint64, nng, rel, invalid_idx).
+    """
+    n = len(starts)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(1, dtype=_U64), z, z, np.zeros(0, dtype=np.int64)
+    base = int(starts[0])
+    end = int((starts + lens).max())
+    total = end - base
+    buf = _scratch("dk_buf", total + NGRAM_K, np.uint8)
+    buf[:total] = data[base:end]
+    buf[total:] = 0
+
+    clipped = np.minimum(lens, MAX_HASH_BYTES)
+    nng = np.maximum(clipped - (NGRAM_K - 1), 0)
+    rel = (starts - base).astype(np.int64)
+
+    # polynomial window hash over positions 0..total (pad keeps it valid)
+    m = total + 1
+    b64 = _scratch("dk_b64", total + NGRAM_K, _U64)
+    b64[:] = buf
+    h = _scratch("dk_h", m, _U64)
+    h[:] = 0
+    with np.errstate(over="ignore"):
+        for j in range(NGRAM_K):
+            h *= _POLY_MULT
+            h += b64[j : j + m]
+    _splitmix64(h)
+
+    # invalid ranges: [rel_i + nng_i, rel_{i+1}), then the tail
+    inv_start = rel + nng
+    inv_end = np.empty(n, dtype=np.int64)
+    inv_end[:-1] = rel[1:]
+    inv_end[-1] = m
+    inv_len = inv_end - inv_start
+    k = int(inv_len.sum())
+    if k > 0:
+        out_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(inv_len[:-1], out=out_off[1:])
+        invalid = np.repeat(inv_start - out_off, inv_len) + np.arange(k, dtype=np.int64)
+    else:
+        invalid = np.zeros(0, dtype=np.int64)
+    return h, nng, rel, invalid
+
+
+def bands_from_buffers(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(band_sigs [N_BANDS, n] int64, valid bool[n]) per document.
+
+    64 permutation minima folded into 8 band signatures. Documents with
+    zero 8-grams are invalid (no signature — mirrors the shingle path
+    emitting no rows for sub-k docs).
+    """
+    h, nng, rel, invalid = _ngram_region(data, starts, lens)
+    n = len(nng)
+    valid = nng > 0
+    sigs = np.empty((N_PERM, n), dtype=_U64)
+    g = _scratch("dk_g", h.size, _U64)
+    for t in range(N_PERM):
+        with np.errstate(over="ignore"):
+            np.multiply(h, _PERM_A[t], out=g)
+            g += _PERM_B[t]
+        if invalid.size:
+            g[invalid] = _MAXU64
+        if n:
+            sigs[t] = np.minimum.reduceat(g, rel)
+    band_sigs = np.zeros((N_BANDS, n), dtype=_U64)
+    with np.errstate(over="ignore"):
+        for b in range(N_BANDS):
+            acc = np.zeros(n, dtype=_U64)
+            for t in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND):
+                acc *= _POLY_MULT
+                acc += sigs[t]
+            band_sigs[b] = _splitmix64(acc)
+    return band_sigs.view(np.int64), valid
+
+
+def simhash_from_buffers(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(simhash int64[n], valid bool[n]): bit j set iff ≥ half the doc's
+    8-gram hashes have bit j set (ties → set, matching the +1/-1 vote
+    convention of the oracle's simhash16)."""
+    h, nng, rel, invalid = _ngram_region(data, starts, lens)
+    n = len(nng)
+    valid = nng > 0
+    out = np.zeros(n, dtype=_U64)
+    # logical (unsigned) shift — an int64 view would smear sign bits
+    bit = _scratch("dk_bit", h.size, _U64)
+    for j in range(64):
+        np.right_shift(h, _U64(j), out=bit)
+        bit &= _U64(1)
+        if invalid.size:
+            bit[invalid] = 0
+        if n:
+            cnt = np.add.reduceat(bit.view(np.int64), rel)
+            cnt[nng == 0] = 0
+            out |= ((2 * cnt >= nng) & valid).astype(_U64) << _U64(j)
+    return out.view(np.int64), valid
+
+
+# ---- Spark wiring ---------------------------------------------------------
+_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("band_sig", T.LongType(), False),
+    ]
+)
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def _bands_batches(batches):
+    for batch in batches:
+        ids = np.asarray(batch.column(batch.schema.get_field_index("doc_id")))
+        text = batch.column(batch.schema.get_field_index("text"))
+        data, starts, lens = buffers_from_arrow(text)
+        band_sigs, valid = bands_from_buffers(data, starts, lens)
+        vids = ids[valid]
+        sigs = band_sigs[:, valid]
+        n = len(vids)
+        if n == 0:
+            continue
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(vids, N_BANDS), type=pa.int64()),
+                pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n), type=pa.int32()),
+                pa.array(sigs.T.reshape(-1), type=pa.int64()),
+            ],
+            names=["doc_id", "band", "band_sig"],
+        )
+
+
+def _simhash_batches(batches):
+    for batch in batches:
+        ids = np.asarray(batch.column(batch.schema.get_field_index("doc_id")))
+        text = batch.column(batch.schema.get_field_index("text"))
+        data, starts, lens = buffers_from_arrow(text)
+        sh, valid = simhash_from_buffers(data, starts, lens)
+        if not valid.any():
+            continue
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids[valid], type=pa.int64()), pa.array(sh[valid], type=pa.int64())],
+            names=["doc_id", "simhash"],
+        )
+
+
+def minhash_bands_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) from a ``(doc_id, text)`` frame — one
+    narrow mapInArrow stage, zero shuffle."""
+    return docs.select(F.col("doc_id").cast("long"), "text").mapInArrow(
+        _bands_batches, _BANDS_SCHEMA
+    )
+
+
+def simhash64_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash, one mapInArrow stage."""
+    return docs.select(F.col("doc_id").cast("long"), "text").mapInArrow(
+        _simhash_batches, _SIMHASH_SCHEMA
+    )
+
+
+def kernel_candidate_pairs_frame(docs: DataFrame) -> DataFrame:
+    """Near-dup candidates from the kernel signatures: equi-join on
+    (band, band_sig) — the same LSH shape as the md5 path, 12-byte keys."""
+    sig = minhash_bands_frame(docs)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def minhash_bands_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_bands_frame(_docs(spark, sf_dir))
+
+
+def simhash64_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64_frame(_docs(spark, sf_dir))
+
+
+def lsh_candidate_pairs_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kernel_candidate_pairs_frame(_docs(spark, sf_dir))
+
+
+# ---- pandas twins (labeler/property-test parity) --------------------------
+def minhash_bands_pandas(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    data, starts, lens = buffers_from_pandas(texts)
+    return bands_from_buffers(data, starts, lens)
+
+
+def simhash64_pandas(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    data, starts, lens = buffers_from_pandas(texts)
+    return simhash_from_buffers(data, starts, lens)

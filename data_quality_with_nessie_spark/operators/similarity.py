@@ -43,6 +43,22 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _emb_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the vector norm precomputed ONCE per vector.
+
+    Scoring a pair then costs one higher-order aggregate (the dot), not
+    three — norms recomputed per pair tripled the dominant cost of every
+    pair-scoring query (measured 3× on near_dup_pairs at sf0.1). sqrt is
+    deterministic, so dot/(nrm_a*nrm_b) is bit-identical to the oracle's
+    dot/(sqrt(dot(a,a))*sqrt(dot(b,b))).
+    """
+    return _emb(spark, sf_dir).withColumn("nrm", _norm(F.col("embedding")))
+
+
+def _pair_cos(q_emb: Column, q_nrm: Column, e_emb: Column, e_nrm: Column) -> Column:
+    return F.round(_dot(q_emb, e_emb) / (q_nrm * e_nrm), 6)
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k neighbors for the first N_QUERIES vectors.
 
@@ -51,15 +67,19 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k (a groupBy on N_QUERIES keys). Rank ties broken by
     neighbor id on the ROUNDED score so ordering is engine-stable.
     """
-    emb = _emb(spark, sf_dir)
+    emb = _emb_n(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     pairs = F.broadcast(q).crossJoin(emb.withColumnRenamed("vec_id", "neighbor_id"))
     scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        _pair_cos(F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -174,7 +194,7 @@ def ann_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled for candidate generation; distinct candidate pairs; score
     only those. Recall vs :func:`cosine_topk` is asserted ≥0.9 in tests.
     """
-    emb = _emb(spark, sf_dir)
+    emb = _emb_n(spark, sf_dir)
     codes = _band_codes(emb, "neighbor_id")
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     qcodes = _band_codes(q, "query_id")
@@ -184,14 +204,25 @@ def ann_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
-        .join(emb.withColumnRenamed("vec_id", "neighbor_id").select("neighbor_id", "embedding"), "neighbor_id")
+        .join(
+            emb.withColumnRenamed("vec_id", "neighbor_id").select(
+                "neighbor_id", "embedding", "nrm"
+            ),
+            "neighbor_id",
+        )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            _pair_cos(
+                F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -213,7 +244,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
     brute-force form survives only as the recall oracle in
     ``tests/test_similarity_recall.py``.
     """
-    emb = _emb(spark, sf_dir)
+    emb = _emb_n(spark, sf_dir)
     a = _band_codes(emb, "id_a")
     b = _band_codes(emb, "id_b")
     cand = (
@@ -222,13 +253,19 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b")
+    )
     scored = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cos_sim")
+            "id_a",
+            "id_b",
+            _pair_cos(F.col("e_a"), F.col("n_a"), F.col("e_b"), F.col("n_b")).alias("cos_sim"),
         )
     )
     return scored.filter(F.col("cos_sim") >= threshold)
@@ -237,12 +274,18 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
 def near_dup_pairs_bruteforce(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """All-pairs form — TEST-ONLY recall oracle for :func:`near_dup_pairs`
     (O(n²); never exported via ``queries()``)."""
-    emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    emb = _emb_n(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b")
+    )
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cos_sim")
+        "id_a",
+        "id_b",
+        _pair_cos(F.col("e_a"), F.col("n_a"), F.col("e_b"), F.col("n_b")).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 

@@ -1,0 +1,110 @@
+"""Gates for the vectorized 64-bit MinHash/SimHash kernels against the
+md5-oracled explode forms: the hash family differs, so the gate is on
+BEHAVIOR — candidate recall over exactly-verified near-dup pairs, pair
+separation for SimHash — plus bit-identical Arrow/pandas parity and
+batch-composition invariance of the kernels themselves."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_quality_with_nessie_spark.operators import dedup as D
+from data_quality_with_nessie_spark.operators import dedup_kernel as K
+
+SF = "/root/testdata/sf0.01"
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((int(a) & 0xFFFFFFFFFFFFFFFF) ^ (int(b) & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+
+@pytest.fixture(scope="module")
+def verified_pairs(spark):
+    return {(r.doc_a, r.doc_b) for r in D.lsh_jaccard_verified(spark, SF).collect()}
+
+
+def test_kernel_candidates_cover_verified_pairs(spark, verified_pairs):
+    """Every md5-verified near-dup pair must be a kernel LSH candidate —
+    swapping the candidate generator may not lose true near-dups."""
+    kcand = {(r.doc_a, r.doc_b) for r in K.lsh_candidate_pairs_kernel(spark, SF).collect()}
+    assert verified_pairs, "fixture must contain verified near-dup pairs"
+    recall = len(verified_pairs & kcand) / len(verified_pairs)
+    assert recall == 1.0, f"kernel candidate recall {recall} < 1.0"
+    # and it stays a candidate generator, not an all-pairs list
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(kcand) < n_docs * 10
+
+
+def test_kernel_drop_ids_match_md5_path(spark, input_pdf):
+    """use_kernel=True drops the same rows as the md5 path on the fixture
+    (identical Jaccard verification; candidates agree on true pairs)."""
+    from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+
+    sdf = spark.createDataFrame(input_pdf.head(500), schema=SOURCE_FILES)
+    md5_ids = {r.doc_id for r in D.near_dup_drop_ids(sdf).collect()}
+    kern_ids = {r.doc_id for r in D.near_dup_drop_ids(sdf, use_kernel=True).collect()}
+    assert md5_ids == kern_ids
+
+
+def test_simhash64_separates_near_dups(spark, verified_pairs):
+    sh = {r.doc_id: r.simhash for r in K.simhash64_kernel(spark, SF).collect()}
+    near = [_hamming(sh[a], sh[b]) for a, b in verified_pairs if a in sh and b in sh]
+    assert near and max(near) <= 12, f"near-dup hamming too high: {sorted(near)[-3:]}"
+    # random pairs sit near 32 bits apart
+    ids = sorted(sh)[:60]
+    far = [_hamming(sh[ids[i]], sh[ids[i + 30]]) for i in range(30)]
+    assert min(far) > 15, f"unrelated pairs too close: {sorted(far)[:3]}"
+
+
+def test_kernel_single_arrow_stage_no_shuffle(spark):
+    """Signature generation must stay narrow: one MapInArrow, zero
+    Exchange in the plan (the entire point of the kernel rewrite)."""
+    import re
+
+    from data_quality_with_nessie_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(K.minhash_bands_frame(docs))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
+    assert nodes.count("MapInArrow") == 1, nodes
+    assert nodes.count("Exchange") == 0, nodes
+
+
+_texts = st.lists(
+    st.one_of(st.none(), st.text(max_size=300)), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_texts)
+def test_kernel_batch_composition_invariance(texts):
+    s = pd.Series(texts, dtype=object)
+    whole_b, whole_v = K.minhash_bands_pandas(s)
+    whole_s, _ = K.simhash64_pandas(s)
+    mid = len(texts) // 2
+    parts = [s.iloc[:mid].reset_index(drop=True), s.iloc[mid:].reset_index(drop=True)]
+    parts = [p for p in parts if len(p)]
+    b = np.concatenate([K.minhash_bands_pandas(p)[0] for p in parts], axis=1)
+    v = np.concatenate([K.minhash_bands_pandas(p)[1] for p in parts])
+    sh = np.concatenate([K.simhash64_pandas(p)[0] for p in parts])
+    assert np.array_equal(v, whole_v)
+    # invalid docs carry no signature (masked by `valid`, never emitted) —
+    # only valid columns are contractual
+    assert np.array_equal(b[:, v], whole_b[:, whole_v])
+    assert np.array_equal(sh[v], whole_s[whole_v])
+
+
+@settings(max_examples=50, deadline=None)
+@given(_texts)
+def test_kernel_arrow_pandas_parity(texts):
+    import pyarrow as pa
+
+    from data_quality_with_nessie_spark.rules.kernel import buffers_from_arrow
+
+    s = pd.Series(texts, dtype=object)
+    pb, pv = K.minhash_bands_pandas(s)
+    data, starts, lens = buffers_from_arrow(pa.array(texts, type=pa.string()))
+    ab, av = K.bands_from_buffers(data, starts, lens)
+    assert np.array_equal(pb, ab) and np.array_equal(pv, av)
