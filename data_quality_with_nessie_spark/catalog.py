@@ -9,18 +9,26 @@ works offline:
 
 * a run writes each bucket's output under ``staging/<run_id>/`` (the
   "branch"),
-* committing a bucket = atomically renaming its staged directory into
-  the final table and appending its lineage row to the ``metrics``
-  table (the "merge into main"),
+* committing a bucket = moving its staged data files to UNIQUE names
+  under the final table, then writing ONE single-file manifest row to
+  ``metrics/`` that lists those files plus the lineage (the "merge into
+  main" — the manifest write IS the commit point),
+* readers resolve the table through the manifests: a data file not
+  listed by any manifest does not exist, so a crash mid-commit leaves
+  only invisible orphans (garbage-collected on the next run), never a
+  half-visible bucket,
 * the COMMITTED set = bucket ids present in ``metrics`` — exactly the
   reference's NOT-IN re-ingest dedup (``ingest.py:70-83``) done as the
-  resume primitive: a rerun processes only pending buckets,
-* a staged-but-uncommitted bucket (crash window) is rolled back on the
-  next run, giving exactly-once output.
+  resume primitive: a rerun processes only pending buckets.
 
-On a real lakehouse this maps 1:1 onto Iceberg branch + fast-forward;
-the call-shape (stage → commit → resume) is kept so that backend is a
-drop-in (reference catalog config to replicate:
+OBJECT-STORE SAFETY: the Iceberg commit pattern the reference's catalog
+uses (write data with unique names, then atomically publish one
+manifest). No step renames over an existing path — data files move to
+fresh unique names and the manifest lands under a fresh unique name —
+so on S3/GCS every step is a plain PUT; the one local tmp→final rename
+is to a name that never pre-exists (pinned by tests/test_catalog_admin).
+On a real lakehouse this maps 1:1 onto Iceberg branch + fast-forward
+(reference catalog config to replicate:
 ``spark-container/modules/SparkIcebergNessieMinIO/CustomSparkConfig.py:29-41``).
 """
 
@@ -88,16 +96,35 @@ class LocalCatalog:
         mdir = os.path.join(self.root, METRICS)
         return spark.read.schema(METRICS_SCHEMA).parquet(mdir)
 
+    def _live_files(self, table: str) -> list[str]:
+        """Absolute paths of the data files the manifests publish for a
+        table — the reader-side half of the manifest protocol (orphans
+        from crashed commits are simply never listed)."""
+        out: list[str] = []
+        for row in self.lineage_by_bucket().values():
+            for rel in row.get(f"{table}_files") or []:
+                out.append(os.path.join(self.root, rel))
+        return out
+
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
         """Read an output table with its declared schema (works even when
         no bucket has been committed yet — empty-batch analog of the
-        reference's header-only ``sampled_data_3.csv``)."""
+        reference's header-only ``sampled_data_3.csv``).
+
+        ``kept``/``quarantine`` resolve through the manifests: only
+        committed data files are visible, regardless of what else sits
+        in the directory."""
         from . import schemas
 
         declared = {KEPT: schemas.KEPT, QUARANTINE: schemas.QUARANTINE, METRICS: schemas.METRICS}
         reader = spark.read
         if name in declared:
             reader = reader.schema(declared[name])
+        if name in (KEPT, QUARANTINE):
+            files = self._live_files(name)
+            if not files:
+                return spark.createDataFrame([], declared[name])
+            return reader.option("basePath", os.path.join(self.root, name)).parquet(*files)
         return reader.option("basePath", os.path.join(self.root, name)).parquet(
             os.path.join(self.root, name)
         )
@@ -125,6 +152,9 @@ class LocalCatalog:
         """
         if not buckets:
             return
+        doomed = {
+            b: row for b, row in self.lineage_by_bucket().items() if b in buckets
+        }
         mdir = os.path.join(self.root, METRICS)
         for f in list(os.listdir(mdir)):
             if not f.endswith(".parquet"):
@@ -136,40 +166,46 @@ class LocalCatalog:
                 continue
             if bucket in buckets:
                 os.remove(os.path.join(mdir, f))
-        for table in (KEPT, QUARANTINE):
-            for bucket in buckets:
-                path = os.path.join(self.root, table, f"bucket={bucket}")
-                if os.path.exists(path):
-                    shutil.rmtree(path)
+        # data files second: once the manifests are gone these are mere
+        # orphans (invisible to readers), so a crash here only defers the
+        # deletion to the next rollback's GC
+        for row in doomed.values():
+            for table in (KEPT, QUARANTINE):
+                for rel in row.get(f"{table}_files") or []:
+                    path = os.path.join(self.root, rel)
+                    if os.path.exists(path):
+                        os.remove(path)
 
     def rollback_uncommitted(self) -> list[int]:
-        """Delete final bucket dirs that lack a lineage row (crash window),
-        and purge staging dirs left by dead runs. Single-writer protocol:
-        this is called at run start, so every existing staging dir belongs
-        to a run that is no longer alive (clean completion drops its own
-        branch) — without this purge, crash-resume cycles leak staged data
-        forever."""
+        """Garbage-collect data files no manifest references (orphans from
+        crashed commits — already invisible to readers), and purge staging
+        dirs left by dead runs. Single-writer protocol: this is called at
+        run start, so every existing staging dir belongs to a run that is
+        no longer alive (clean completion drops its own branch) — without
+        this purge, crash-resume cycles leak staged data forever."""
         sdir = os.path.join(self.root, "staging")
         for entry in os.listdir(sdir):
             shutil.rmtree(os.path.join(sdir, entry), ignore_errors=True)
-        committed = None
+        live: set[str] = set()
+        for row in self.lineage_by_bucket().values():
+            for table in (KEPT, QUARANTINE):
+                live.update(row.get(f"{table}_files") or [])
         rolled: list[int] = []
         for table in (KEPT, QUARANTINE):
             tdir = os.path.join(self.root, table)
-            for entry in os.listdir(tdir):
-                if not entry.startswith("bucket="):
+            for entry in sorted(os.listdir(tdir)):
+                bdir = os.path.join(tdir, entry)
+                if not (entry.startswith("bucket=") and os.path.isdir(bdir)):
                     continue
                 bucket = int(entry.split("=", 1)[1])
-                if committed is None:
-                    files = self._committed_metric_files()
-                    committed = (
-                        set(pq.read_table(files, columns=["bucket"]).column("bucket").to_pylist())
-                        if files
-                        else set()
-                    )
-                if bucket not in committed:
-                    shutil.rmtree(os.path.join(tdir, entry))
-                    rolled.append(bucket)
+                for f in sorted(os.listdir(bdir)):
+                    rel = os.path.join(table, entry, f)
+                    if rel not in live:
+                        os.remove(os.path.join(bdir, f))
+                        if bucket not in rolled:
+                            rolled.append(bucket)
+                if not os.listdir(bdir):
+                    os.rmdir(bdir)
         return rolled
 
     def commit_bucket(
@@ -182,19 +218,31 @@ class LocalCatalog:
         started_at: dt.datetime,
         keys_xor: int = 0,
     ) -> None:
-        """Atomic publish of one bucket: rename staged dirs + lineage row.
+        """Atomic publish of one bucket: unique-name data files + ONE
+        manifest row (the Iceberg commit pattern).
 
-        The lineage row is the commit record — it lands LAST, so a crash
-        at any earlier point leaves the bucket pending (picked up and
-        rolled back / reprocessed by the next run).
+        Data files first, each moved to a fresh ``{run_id}-`` name that
+        cannot pre-exist; the manifest (lineage row + file lists) lands
+        LAST under its own fresh name — so a crash at any earlier point
+        leaves only reader-invisible orphans, and no step ever renames
+        over an existing path (object-store-safe: every step is a PUT).
         """
+        file_lists: dict[str, list[str]] = {}
         for table in (KEPT, QUARANTINE):
             src = os.path.join(self.staging_dir(run_id), table, f"bucket={bucket}")
             dst = os.path.join(self.root, table, f"bucket={bucket}")
-            if os.path.exists(src):
-                if os.path.exists(dst):
-                    shutil.rmtree(dst)
-                os.rename(src, dst)
+            rels: list[str] = []
+            if os.path.isdir(src):
+                os.makedirs(dst, exist_ok=True)
+                for i, f in enumerate(sorted(os.listdir(src))):
+                    if not f.endswith(".parquet"):
+                        continue
+                    unique = f"{run_id}-{i:05d}.parquet"
+                    target = os.path.join(dst, unique)
+                    assert not os.path.exists(target), f"commit collision: {target}"
+                    os.rename(os.path.join(src, f), target)
+                    rels.append(os.path.join(table, f"bucket={bucket}", unique))
+            file_lists[f"{table}_files"] = rels
         row = {
             "bucket": bucket,
             "branch": run_id,
@@ -205,6 +253,7 @@ class LocalCatalog:
             "rule_hits": rule_hits,
             "started_at": started_at,
             "committed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            **file_lists,
         }
         schema = pa.schema(
             [
@@ -217,10 +266,15 @@ class LocalCatalog:
                 pa.field("rule_hits", pa.map_(pa.string(), pa.int64())),
                 pa.field("started_at", pa.timestamp("us")),
                 pa.field("committed_at", pa.timestamp("us")),
+                pa.field(f"{KEPT}_files", pa.list_(pa.string())),
+                pa.field(f"{QUARANTINE}_files", pa.list_(pa.string())),
             ]
         )
         tbl = pa.Table.from_pylist([{**row, "rule_hits": list(row["rule_hits"].items())}], schema=schema)
+        # tmp → rename to a name that NEVER pre-exists (run_id is fresh):
+        # on an object store this whole dance is a single PUT of `final`
         final = os.path.join(self.root, METRICS, f"{run_id}-bucket-{bucket}.parquet")
+        assert not os.path.exists(final), f"manifest collision: {final}"
         tmp = final + ".tmp"
         pq.write_table(tbl, tmp)
         os.rename(tmp, final)

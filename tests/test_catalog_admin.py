@@ -1,6 +1,11 @@
-"""Catalog admin surface: branch/namespace/table introspection (S9/S10)."""
+"""Catalog admin surface: branch/namespace/table introspection (S9/S10),
+plus the object-store-safety contract of the manifest commit protocol."""
+
+import os
 
 from data_quality_with_nessie_spark.catalog import LocalCatalog
+from data_quality_with_nessie_spark.pipeline import run
+from data_quality_with_nessie_spark.schemas import SOURCE_FILES
 
 
 def test_branch_lifecycle(tmp_path):
@@ -16,3 +21,50 @@ def test_tables_and_namespaces(tmp_path):
     assert set(cat.list_tables()) == {"kept", "metrics", "quarantine"}
     cat.create_namespace("gold")
     assert "gold" in cat.list_tables()
+
+
+def test_commit_never_renames_over_existing(spark, input_pdf, tmp_path, monkeypatch):
+    """The object-store-safety contract: every os.rename in the commit
+    protocol targets a path that does not yet exist (rename == PUT)."""
+    real_rename = os.rename
+
+    def checked_rename(src, dst):
+        assert not os.path.exists(dst), f"rename over existing path: {dst}"
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", checked_rename)
+    cat = LocalCatalog(str(tmp_path))
+    sdf = spark.createDataFrame(input_pdf.head(200), schema=SOURCE_FILES)
+    run(spark, sdf, cat, n_buckets=4)
+    # a replaced (invalidated + recommitted) bucket must not collide either
+    import pandas as pd
+
+    extra = input_pdf.head(10).copy()
+    extra["path"] = "late/" + extra["path"]
+    grown = spark.createDataFrame(
+        pd.concat([input_pdf.head(200), extra]), schema=SOURCE_FILES
+    )
+    run(spark, grown, cat, n_buckets=4)
+
+
+def test_unmanifested_files_invisible_to_readers(spark, input_pdf, tmp_path):
+    """A data file that merely EXISTS in the table directory (crashed
+    commit, concurrent junk) is not part of the table until a manifest
+    lists it — the property that makes the commit safe without atomic
+    rename semantics."""
+    import shutil
+
+    cat = LocalCatalog(str(tmp_path))
+    sdf = spark.createDataFrame(input_pdf.head(200), schema=SOURCE_FILES)
+    run(spark, sdf, cat, n_buckets=4)
+    before = cat.read_table(spark, "kept").count()
+    # drop a rogue copy of a committed file into the same bucket dir
+    kept_dir = os.path.join(str(tmp_path), "kept")
+    bucket_dir = next(
+        os.path.join(kept_dir, d) for d in os.listdir(kept_dir) if d.startswith("bucket=")
+    )
+    src_file = next(f for f in os.listdir(bucket_dir) if f.endswith(".parquet"))
+    shutil.copy(
+        os.path.join(bucket_dir, src_file), os.path.join(bucket_dir, "rogue-orphan.parquet")
+    )
+    assert cat.read_table(spark, "kept").count() == before

@@ -66,21 +66,24 @@ def test_resume_after_partial_commit(spark, sdf, input_pdf, tmp_path):
 
 
 def test_rollback_uncommitted_staged_bucket(spark, sdf, tmp_path):
-    """A final bucket dir without a lineage row is rolled back and
-    reprocessed (crash between rename and metrics append)."""
+    """Data files without a manifest (crash between file moves and the
+    manifest write) are invisible to readers immediately, GC'd on the
+    next run, and their bucket is reprocessed."""
     cat = LocalCatalog(str(tmp_path))
     run(spark, sdf, cat, n_buckets=N_BUCKETS)
+    full = cat.read_table(spark, "kept").count()
     metrics_dir = os.path.join(str(tmp_path), "metrics")
-    # delete bucket 5's lineage row → it becomes "staged but uncommitted"
+    # delete bucket 5's manifest → its data files become orphans
     removed = [f for f in os.listdir(metrics_dir) if f.endswith("bucket-5.parquet")]
     assert removed
     for f in removed:
         os.remove(os.path.join(metrics_dir, f))
 
-    before = cat.read_table(spark, "kept").count()
+    # reader-side manifest protocol: orphans are invisible BEFORE any GC
+    assert cat.read_table(spark, "kept").count() < full
     again = run(spark, sdf, cat, n_buckets=N_BUCKETS)
     assert again["buckets_processed"] == [5]
-    assert cat.read_table(spark, "kept").count() == before
+    assert cat.read_table(spark, "kept").count() == full
 
 
 def test_grown_input_reprocesses_changed_buckets(spark, sdf, input_pdf, tmp_path):
