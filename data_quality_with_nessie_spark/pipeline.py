@@ -151,6 +151,7 @@ def run(
     bucket_offset: int = 0,
     verify_committed: bool = True,
     near_dup: bool = False,
+    staged_write: bool = True,
 ) -> dict:
     """One resumable pipeline run. Returns a summary dict.
 
@@ -173,6 +174,15 @@ def run(
     (MinHash → LSH → Jaccard-verify → connected components, see
     ``operators/dedup.py``) over the FULL source — clusters span
     buckets — and quarantines non-keepers with a ``near_dup`` reason.
+
+    ``staged_write`` (default True): the classified frame is written
+    ONCE as a combined staged table and the kept/quarantine splits plus
+    the lineage agg are cheap column-pruned re-scans of that parquet —
+    zero executor-cache footprint, which is what survives >10 TB per
+    run, and measured 2.4× faster than the persist path even at sf0.1
+    (BENCH/BASELINE.md). ``staged_write=False`` keeps the classified
+    frame in MEMORY_AND_DISK cache instead (one fewer disk round-trip;
+    only competitive when the whole batch fits in executor memory).
     """
     started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     catalog.rollback_uncommitted()
@@ -229,20 +239,33 @@ def run(
     quarantine_cols = INPUT_COLS + ["content_sha256", "rejection_reasons", "bucket"]
 
     stage = catalog.staging_dir(run_id)
-    # persist the classified frame once; both writes + the metrics agg
-    # reuse it instead of re-running the scorer UDFs three times.
-    # Default storage level is MEMORY_AND_DISK (deserialized): at
-    # cluster scale the content columns spill to local disk rather than
-    # evicting — still strictly cheaper than 3 scorer passes. (An
-    # alternative single-pass design — write one combined staged table,
-    # then split by a cheap re-scan — trades one extra disk round-trip
-    # for zero cache pressure; worth it above ~10 TB per run.)
-    classified.persist()
+    if staged_write:
+        # >10 TB path: ONE write of the classified frame; the splits and
+        # the lineage agg are column-pruned scans of the staged parquet
+        # (the agg reads only bucket/keep/rule flags/keys — not content).
+        combined = os.path.join(stage, "combined")
+        classified.write.mode("overwrite").partitionBy("bucket").parquet(combined)
+        # explicit schema: a fully-resumed (empty-pending) run writes no
+        # data files, and an inference read would fail on _SUCCESS alone
+        scored = (
+            spark.read.schema(classified.schema)
+            .option("basePath", combined)
+            .parquet(combined)
+        )
+        cleanup = None
+    else:
+        # persist the classified frame once; both writes + the metrics
+        # agg reuse it instead of re-running the scorer UDFs three times.
+        # Default storage level is MEMORY_AND_DISK (deserialized): at
+        # cluster scale the content columns spill to local disk rather
+        # than evicting — still strictly cheaper than 3 scorer passes.
+        scored = classified.persist()
+        cleanup = classified.unpersist
     try:
-        classified.filter("keep").select(*kept_cols).write.mode("overwrite").partitionBy(
+        scored.filter("keep").select(*kept_cols).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(os.path.join(stage, KEPT))
-        classified.filter(~F.col("keep")).select(*quarantine_cols).write.mode(
+        scored.filter(~F.col("keep")).select(*quarantine_cols).write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(os.path.join(stage, QUARANTINE))
 
@@ -256,9 +279,10 @@ def run(
                 for n in rule_names
             ],
         ]
-        stats = {r["bucket"]: r.asDict() for r in classified.groupBy("bucket").agg(*aggs).collect()}
+        stats = {r["bucket"]: r.asDict() for r in scored.groupBy("bucket").agg(*aggs).collect()}
     finally:
-        classified.unpersist()
+        if cleanup is not None:
+            cleanup()
 
     for bucket in sorted(stats):
         s = stats[bucket]

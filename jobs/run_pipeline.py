@@ -30,6 +30,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--buckets", type=int, default=0, help="salted bucket count (0 = auto from input size)")
     p.add_argument("--master", default=None, help="override master (tests only; cluster uses spark-submit)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="corpus-level near-dup dedup pre-pass (quarantines non-keepers)",
+    )
+    p.add_argument(
+        "--persist-cache",
+        action="store_true",
+        help="cache the classified frame instead of the default combined "
+        "staged write (only competitive when the batch fits in memory)",
+    )
     return p.parse_args(argv)
 
 
@@ -67,7 +78,14 @@ def main(argv: list[str] | None = None) -> dict:
         approx_rows = max(1, nbytes // 1024)
         n_buckets = skew.choose_bucket_count(approx_rows)
 
-    summary = run(spark, source, LocalCatalog(args.output), n_buckets=n_buckets)
+    summary = run(
+        spark,
+        source,
+        LocalCatalog(args.output),
+        n_buckets=n_buckets,
+        near_dup=args.near_dup,
+        staged_write=not args.persist_cache,
+    )
     print(json.dumps(summary))
     return summary
 

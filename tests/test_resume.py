@@ -86,6 +86,28 @@ def test_rollback_uncommitted_staged_bucket(spark, sdf, tmp_path):
     assert cat.read_table(spark, "kept").count() == full
 
 
+def test_staged_write_equivalent_to_persist_path(spark, sdf, tmp_path):
+    """staged_write=True (the >10TB no-persist path) must produce the
+    byte-identical tables and lineage of the default path."""
+    a = LocalCatalog(str(tmp_path / "persist"))
+    b = LocalCatalog(str(tmp_path / "staged"))
+    run(spark, sdf, a, n_buckets=N_BUCKETS, staged_write=False)
+    s = run(spark, sdf, b, n_buckets=N_BUCKETS, staged_write=True)
+    assert sorted(s["buckets_processed"]) == sorted(range(N_BUCKETS))
+    for table in ("kept", "quarantine"):
+        cols = ["repo", "path", "commit", "content_sha256"]
+        pa_ = a.read_table(spark, table).select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+        pb_ = b.read_table(spark, table).select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+        assert pa_.equals(pb_), table
+    ma = a.metrics_df(spark).select("bucket", "rows_in", "rows_out", "keys_xor").toPandas()
+    mb = b.metrics_df(spark).select("bucket", "rows_in", "rows_out", "keys_xor").toPandas()
+    assert ma.sort_values("bucket").reset_index(drop=True).equals(
+        mb.sort_values("bucket").reset_index(drop=True)
+    )
+    # staging is dropped on clean completion — the combined table too
+    assert b.list_branches() == []
+
+
 def test_grown_input_reprocesses_changed_buckets(spark, sdf, input_pdf, tmp_path):
     """Re-running after the input gained rows must NOT silently drop the
     new rows just because their salted bucket was already committed —
