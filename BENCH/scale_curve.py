@@ -1,0 +1,77 @@
+"""Second scale point for the re-planned dedup/similarity queries:
+runs each at sf0.01 and sf0.1 (10× rows) and reports the wall-time
+ratio, so a plan rewrite shows up as a moved CURVE, not one point.
+
+A shuffle-bound explode plan grows superlinearly with input; the kernel
+rewrites should grow ~linearly (ratio ≈ 10 or less with fixed overheads
+amortized).
+
+Usage: python BENCH/scale_curve.py   → writes BENCH/scale_curve.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+QUERIES = [
+    # explode/md5 (SQL-oracled spec) vs vectorized kernel twins
+    "minhash_signatures",
+    "minhash_bands_kernel",
+    "simhash16",
+    "simhash64_kernel",
+    # end-to-end near-dup stages
+    "lsh_candidate_pairs",
+    "lsh_candidate_pairs_kernel",
+    "lsh_jaccard_verified",
+    # similarity
+    "ann_banded_topk",
+    "near_dup_pairs",
+]
+
+SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def main() -> None:
+    from data_quality_with_nessie_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="scale-curve", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    queries = entry_mod.queries()
+    # warm JVM + python workers
+    queries["quality_pipeline_docs"](spark, "/root/testdata/sf0.001").count()
+
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        row: dict[str, float] = {}
+        for sf_dir in SFS:
+            sf = sf_dir.rsplit("sf", 1)[-1]
+            best = None
+            for _ in range(2):  # min of 2: drop one-off stragglers
+                df = queries[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                t = time.perf_counter() - t0
+                best = t if best is None else min(best, t)
+            row[sf] = round(best, 3)
+        row["ratio_10x"] = round(row["0.1"] / max(row["0.01"], 1e-9), 2)
+        out[name] = row
+        print(name, row, flush=True)
+
+    with open(os.path.join(REPO, "BENCH", "scale_curve.json"), "w") as fh:
+        json.dump({"cpus": cpus, "queries": out}, fh, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -161,6 +161,10 @@ langid/perplexity UDFs → regex scrub → materialize), {results[lo]['rows']} f
 
 Reproduce: `python BENCH/scaling.py`
 """
+    notes = os.path.join(REPO, "BENCH", "NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as fh:
+            md += "\n" + fh.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
     print(json.dumps(summary))

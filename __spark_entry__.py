@@ -286,7 +286,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    upper(o_orderstatus) AS o_orderstatus,
                    round(o_totalprice, 2) AS o_totalprice,
-                   lower(coalesce(o_orderpriority, 'INVALID_VALUE')) AS o_orderpriority
+                   -- initcap emulation (DuckDB 1.0 lacks it): Spark's
+                   -- initcap lowercases then uppercases each space-
+                   -- delimited word's first char; empty tokens survive
+                   array_to_string(
+                     list_transform(
+                       string_split(lower(coalesce(o_orderpriority, 'INVALID_VALUE')), ' '),
+                       w -> upper(w[1]) || w[2:]
+                     ), ' '
+                   ) AS o_orderpriority
             FROM orders
             WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
               AND o_orderdate IS NOT NULL AND o_totalprice > 0

@@ -145,7 +145,10 @@ def cleansing_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderstatus",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.lower(F.col("o_orderpriority")).alias("o_orderpriority"),
+            # initcap, as the reference standardizes case
+            # (cleansing.py:121); the DuckDB oracle emulates it with
+            # split/upper/join since DuckDB 1.0 has no initcap (P8)
+            F.initcap(F.col("o_orderpriority")).alias("o_orderpriority"),
         )
     )
 
