@@ -44,19 +44,33 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _emb_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings with the vector norm precomputed ONCE per vector.
+    """Embeddings with the norm precomputed ONCE per vector and the
+    float array pre-cast to double ONCE.
 
-    Scoring a pair then costs one higher-order aggregate (the dot), not
-    three — norms recomputed per pair tripled the dominant cost of every
-    pair-scoring query (measured 3× on near_dup_pairs at sf0.1). sqrt is
-    deterministic, so dot/(nrm_a*nrm_b) is bit-identical to the oracle's
-    dot/(sqrt(dot(a,a))*sqrt(dot(b,b))).
+    Scoring a pair then costs one higher-order aggregate of pure double
+    multiply-adds: the per-pair norm recomputation (3 aggregates/pair)
+    and the per-element casts inside the pair lambda (2 casts/element/
+    pair) both move to the per-VECTOR side. Values are bit-identical to
+    the oracle's dot(a::DOUBLE[], b::DOUBLE[]) / (sqrt(..)*sqrt(..))
+    form — cast-then-multiply equals multiply-of-casts, and sqrt is
+    deterministic. Measured 3× then another ~2× on near_dup_pairs at
+    sf0.1 (BENCH/NOTES.md).
     """
-    return _emb(spark, sf_dir).withColumn("nrm", _norm(F.col("embedding")))
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return emb.withColumn("nrm", _norm(F.col("embedding")))
+
+
+def _dot_pre(a: Column, b: Column) -> Column:
+    """Dot product over pre-cast double arrays (no per-element casts)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
 
 
 def _pair_cos(q_emb: Column, q_nrm: Column, e_emb: Column, e_nrm: Column) -> Column:
-    return F.round(_dot(q_emb, e_emb) / (q_nrm * e_nrm), 6)
+    return F.round(_dot_pre(q_emb, e_emb) / (q_nrm * e_nrm), 6)
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,20 +182,40 @@ def _band_codes(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """
     e = F.col("embedding")
     planes = _plane_pairs()
-    codes = []
-    for b in range(N_BANDS):
-        bits = planes[b * BAND_BITS : (b + 1) * BAND_BITS]
-        code = None
-        for k, (i, j) in enumerate(bits):
-            term = F.when(
-                e.getItem(i).cast("double") - e.getItem(j).cast("double") >= 0,
-                F.lit(1 << k),
-            ).otherwise(F.lit(0))
-            code = term if code is None else code + term
-        codes.append(code.cast("int"))
+    # array HOFs instead of 64 unrolled CASE chains: the unrolled form
+    # costs ~4s of Catalyst analysis PER QUERY (measured) — tree size is
+    # a planning cost, not just a runtime one. Bit/band semantics are
+    # identical to the SQL oracle (same planes, same bit order).
+    pairs_lit = F.array(
+        *[
+            F.struct(F.lit(i + 1).alias("i"), F.lit(j + 1).alias("j"))
+            for i, j in planes
+        ]
+    )
+    bits = F.transform(
+        pairs_lit,
+        lambda p: F.when(
+            F.element_at(e, p["i"]).cast("double") - F.element_at(e, p["j"]).cast("double")
+            >= 0,
+            1,
+        ).otherwise(0),
+    )
+    weights = F.array(*[F.lit(1 << k) for k in range(BAND_BITS)])
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.aggregate(
+            F.zip_with(
+                F.slice(bits, b * BAND_BITS + F.lit(1), BAND_BITS),
+                weights,
+                lambda x, w: x * w,
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("int"),
+    )
     return df.select(
         F.col("vec_id").alias(id_col),
-        F.posexplode(F.array(*codes)).alias("band", "code"),
+        F.posexplode(codes).alias("band", "code"),
     )
 
 

@@ -1,0 +1,59 @@
+"""Ad-hoc SQL surface — the 90%-case replacement for the reference's
+Thrift/JDBC server (SURVEY.md §2.1 S15, reference
+``spark-container/ThriftServer-Iceberg-Nessie.sh:94-110``).
+
+The reference exposes its lakehouse to BI tools via a long-running
+Spark ThriftServer; a network endpoint is out of scope for a
+spark-submit batch engine (north_rule), but the thing users actually do
+with it — type SQL against the catalog's tables — is one view
+registration away. ``register_catalog_views`` mounts every catalog
+table (kept / quarantine / metrics) plus any parquet dataset directory
+as temp views, and ``sql`` is then plain ``spark.sql`` over them.
+
+For a real network endpoint, the same session can be served with
+``spark.sql.hive.thriftServer.singleSession`` via
+``HiveThriftServer2.startWithContext`` — deliberately not wired here
+(no Hive deps in this environment).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import KEPT, METRICS, QUARANTINE, LocalCatalog
+
+
+def register_catalog_views(
+    spark: SparkSession, catalog: LocalCatalog, prefix: str = ""
+) -> list[str]:
+    """Mount the catalog's tables as temp views; returns the view names.
+
+    Views resolve through the catalog's manifest protocol (same
+    ``read_table``), so ad-hoc SQL sees exactly the committed data —
+    never in-flight or orphaned files.
+    """
+    names = []
+    for table in (KEPT, QUARANTINE, METRICS):
+        view = f"{prefix}{table}"
+        catalog.read_table(spark, table).createOrReplaceTempView(view)
+        names.append(view)
+    return names
+
+
+def register_dataset_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Mount every ``<name>.parquet`` under a dataset dir as a view named
+    ``<name>`` (the layout the driver's test tables use)."""
+    names = []
+    for entry in sorted(os.listdir(sf_dir)):
+        if entry.endswith(".parquet"):
+            name = entry[: -len(".parquet")]
+            spark.read.parquet(os.path.join(sf_dir, entry)).createOrReplaceTempView(name)
+            names.append(name)
+    return names
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """Run ANSI SQL over the registered views (Catalyst end to end)."""
+    return spark.sql(query)

@@ -62,3 +62,32 @@ def test_sinks(spark, tmp_path):
     single_csv(df, csv_out)
     files = [f for f in os.listdir(csv_out) if f.endswith(".csv")]
     assert len(files) == 1  # coalesce(1): exactly one data file
+
+
+def test_sql_surface_over_catalog_and_datasets(spark, input_pdf, tmp_path):
+    """S15 stand-in: ad-hoc SQL over catalog tables + dataset views."""
+    from data_quality_with_nessie_spark.catalog import LocalCatalog
+    from data_quality_with_nessie_spark.pipeline import run
+    from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+    from data_quality_with_nessie_spark.sources.sql_surface import (
+        register_catalog_views,
+        register_dataset_views,
+        sql,
+    )
+
+    cat = LocalCatalog(str(tmp_path))
+    sdf = spark.createDataFrame(input_pdf.head(300), schema=SOURCE_FILES)
+    run(spark, sdf, cat, n_buckets=4)
+    views = register_catalog_views(spark, cat)
+    assert set(views) == {"kept", "quarantine", "metrics"}
+    row = sql(
+        spark,
+        "SELECT (SELECT count(*) FROM kept) + (SELECT count(*) FROM quarantine) AS total, "
+        "(SELECT sum(rows_in) FROM metrics) AS lineage",
+    ).collect()[0]
+    assert row["total"] == row["lineage"] == 300
+
+    names = register_dataset_views(spark, "/root/testdata/sf0.001")
+    assert "nation" in names and "lineitem" in names
+    n = sql(spark, "SELECT count(*) AS n FROM nation").collect()[0]["n"]
+    assert n == 25
