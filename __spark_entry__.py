@@ -71,6 +71,22 @@ def _quality_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_pipeline_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: full classification WITH the corpus-level
+    near-dup rule (MinHash→LSH→Jaccard→clusters → ``near_dup`` reason).
+    Deterministic keep/reason counts; exact agreement with the frozen
+    pandas labeler is gated in tests/test_near_dup_pipeline.py."""
+    from data_quality_with_nessie_spark.operators.dedup import near_dup_drop_ids
+    from data_quality_with_nessie_spark.pipeline import classify
+
+    src = _documents_as_source_files(spark, sf_dir)
+    out = classify(src, n_buckets=8, drop_ids=near_dup_drop_ids(src))
+    return (
+        out.groupBy("keep", F.concat_ws(",", "rejection_reasons").alias("reasons"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- SURVEY.md §2 relational surface ---
@@ -126,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_agg": E.tumbling_window_agg,
         # --- full pipeline (model scorers; rows-only check) ---
         "quality_pipeline_docs": _quality_pipeline_docs,
+        "quality_pipeline_near_dup": _quality_pipeline_near_dup,
     }
 
 
