@@ -76,6 +76,13 @@ def test_dedup_self_joins_reuse_exchanges(spark):
     final2 = df2._jdf.queryExecution().executedPlan().toString()
     assert final2.count("ReusedExchange") >= 2
 
+    # the production LSH→Jaccard composition reuses the shingle/signature
+    # subtrees too (they appear 4× in the static plan)
+    df3 = D.lsh_jaccard_verified(spark, SF)
+    df3.collect()
+    final3 = df3._jdf.queryExecution().executedPlan().toString()
+    assert final3.count("ReusedExchange") >= 2
+
 
 def test_pipeline_single_python_stage(spark, input_pdf):
     """ALL Python work must ride ONE ArrowEval/mapInArrow node — a
