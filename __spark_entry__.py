@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_ann_topk": S.bucketed_ann_topk,
         "ann_banded_topk": S.ann_banded_topk,
         "near_dup_pairs": S.near_dup_pairs,
+        "ivf_topk": S.ivf_topk,
         "centroid_by_label": S.centroid_by_label,
         # --- text analysis ---
         "token_stats": T.token_stats,
@@ -531,6 +532,53 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings b ON b.vec_id = id_b
             )
             SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.5
+        """,
+        "ivf_topk": """
+            WITH e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+            ), cent AS (
+                SELECT label AS cell, array_agg(c ORDER BY pos) AS centroid
+                FROM (
+                    SELECT label, pos, avg(v) AS c
+                    FROM (
+                        SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                               generate_subscripts(embedding, 1) AS pos
+                        FROM embeddings
+                    )
+                    GROUP BY label, pos
+                )
+                GROUP BY label
+            ), q AS (
+                SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5
+            ), assign AS (
+                SELECT query_id, cell,
+                       round(list_dot_product(qe, centroid) /
+                             (sqrt(list_dot_product(qe, qe)) *
+                              sqrt(list_dot_product(centroid, centroid))), 6) AS cell_cos
+                FROM q CROSS JOIN cent
+            ), probe AS (
+                SELECT query_id, cell AS probe_cell FROM (
+                    SELECT query_id, cell,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cell_cos DESC, cell) AS rn
+                    FROM assign
+                ) WHERE rn = 1
+            ), scored AS (
+                SELECT p.query_id, p.probe_cell, x.vec_id AS neighbor_id,
+                       round(list_dot_product(q.qe, x.emb) /
+                             (sqrt(list_dot_product(q.qe, q.qe)) *
+                              sqrt(list_dot_product(x.emb, x.emb))), 6) AS cos_sim
+                FROM probe p
+                JOIN q ON q.query_id = p.query_id
+                JOIN e x ON x.label = p.probe_cell AND x.vec_id != p.query_id
+            ), ranked AS (
+                SELECT query_id, probe_cell, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, probe_cell, neighbor_id, rank, cos_sim
+            FROM ranked WHERE rank <= 10
         """,
         "centroid_by_label": """
             WITH s AS (

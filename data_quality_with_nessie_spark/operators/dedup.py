@@ -79,6 +79,8 @@ def minhash_signature_frame(docs: DataFrame) -> DataFrame:
     A salted-hash family via the band id — the fastText-paper-style
     "k independent hash functions" realized portably (md5 is identical
     hex in every engine, so the oracle can reproduce it bit-for-bit).
+    The scale path is ``dedup_kernel.minhash_bands_frame`` (64 perms in
+    one mapInArrow stage — this form shuffles the shingle stream ×8).
     """
     sh = _shingles(docs)
     bands = docs.sparkSession.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
@@ -234,8 +236,10 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k_pairs: int = 20) -> D
     Joining on SHINGLES (not tokens) keeps the pair space near-linear:
     a shingle is shared only by genuinely similar docs, so the equi-join
     fan-out stays tiny while a unigram join would blow up quadratically
-    on the shared vocabulary. Production composes this AFTER
-    :func:`lsh_candidate_pairs` so only candidates are scored at all.
+    on the shared vocabulary. STILL unsafe on high-document-frequency
+    shingles (license headers, boilerplate) — the production composition
+    is :func:`verified_pairs_frame`, which scores LSH candidates only;
+    this exhaustive form exists to oracle the scoring math at test scale.
     """
     docs = _docs(spark, sf_dir)
     tok = _shingles(docs).withColumnRenamed("shingle", "w")
@@ -306,8 +310,9 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each token votes +1/-1 per dimension by whether the corresponding
     md5 hex digit of the token is ≥ 8; the fingerprint is the sign
     bit-string. Fully hash-portable (md5 hex), so the oracle reproduces
-    it exactly. (A 64-bit numpy variant would batch this in a pandas
-    UDF; the 16-dim form keeps it native + oracle-checkable.)
+    it exactly. The scale path is ``dedup_kernel.simhash64_frame`` —
+    64 bits in one mapInArrow stage, zero shuffle (this explode form
+    moves the token stream through the shuffle ×16).
     """
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w")).withColumn(

@@ -324,6 +324,76 @@ def near_dup_pairs_bruteforce(spark: SparkSession, sf_dir: str, threshold: float
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign each query to its nearest coarse cell
+    (per-label centroid), scan ONLY that cell for top-k.
+
+    The 100 TB plan of an inverted-file index: the centroid table is
+    O(cells) and broadcast; each query touches 1/cells of the corpus
+    (probe-1 here; more cells + multi-probe trade recall for scan
+    fraction). The fixture's labels are random w.r.t. cosine geometry,
+    so probe-1 recall is intentionally reported by the recall test as a
+    property of the DATA, not asserted high — the machinery (assign →
+    prune → scan one cell) is what this query pins.
+    """
+    emb = _emb_n(spark, sf_dir)
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("s", lambda x: x["c"]).alias("centroid"),
+        )
+        .withColumn("c_nrm", _norm(F.col("centroid")))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    assign = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "q_emb",
+        "q_nrm",
+        "cell",
+        _pair_cos(F.col("q_emb"), F.col("q_nrm"), F.col("centroid"), F.col("c_nrm")).alias(
+            "cell_cos"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probe = (
+        assign.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_emb", "q_nrm", F.col("cell").alias("probe_cell"))
+    )
+    cand = F.broadcast(probe).join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("probe_cell"),
+            "embedding",
+            "nrm",
+        ),
+        "probe_cell",
+    )
+    scored = cand.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "probe_cell",
+        "neighbor_id",
+        _pair_cos(F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "probe_cell", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse quantizer cells: per-label centroid norms.
 

@@ -51,6 +51,27 @@ def test_near_dup_banded_no_cartesian(spark):
     assert_no_cartesian(S.near_dup_pairs(spark, SF))
 
 
+def test_ivf_probe_scans_one_cell(spark):
+    """IVF machinery contract: every returned neighbor lives in the
+    query's probe cell, ranks are dense per query, and the scan pruned
+    to one cell (recall itself is a property of the data — the fixture
+    labels are random w.r.t. cosine geometry — so it is not asserted)."""
+    rows = S.ivf_topk(spark, SF).collect()
+    emb = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    per_query: dict[int, list] = {}
+    for r in rows:
+        assert emb[r["neighbor_id"]] == r["probe_cell"]
+        per_query.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_query.items():
+        cells = {r["probe_cell"] for r in rs}
+        assert len(cells) == 1, f"query {q} probed {cells}"
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+
+
 def test_band_codes_shape(spark):
     codes = S._band_codes(
         spark.read.parquet(f"{SF}/embeddings.parquet").limit(3), "vec_id"
