@@ -30,6 +30,7 @@ def streaming_quality_filter(
     checkpoint_dir: str,
     n_buckets: int = 64,
     max_files_per_trigger: int = 16,
+    near_dup: bool = False,
 ) -> StreamingQuery:
     """File-discovery stream → quality filter → catalog commit.
 
@@ -39,6 +40,11 @@ def streaming_quality_filter(
     its sensor-DAG chain. ``maxFilesPerTrigger`` bounds micro-batch
     size the way the reference's 1-slot pool serialized batches, but
     without idling the cluster between polls.
+
+    ``near_dup=True`` deduplicates near-duplicates WITHIN each
+    micro-batch (the streaming analog of the reference's in-batch
+    ``drop_duplicates``, ``cleansing.py:82``); cross-epoch near-dup
+    needs the batch job over the accumulated corpus.
     """
     stream = (
         spark.readStream.schema(SOURCE_FILES)
@@ -59,6 +65,7 @@ def streaming_quality_filter(
             catalog,
             n_buckets=n_buckets,
             bucket_offset=int(epoch_id) * n_buckets,
+            near_dup=near_dup,
         )
 
     return (

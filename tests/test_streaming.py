@@ -78,3 +78,36 @@ def test_windowed_event_counts(spark, tmp_path):
     assert out.count() >= 0
     assert set(out.columns) == {"window_start", "event_type", "n", "total_value"}
     assert batch.count() > 0
+
+
+def test_streaming_near_dup_within_epoch(spark, input_pdf, tmp_path):
+    """near_dup=True dedups within each micro-batch: a planted near-dup
+    landing in the SAME file as its original is quarantined."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = input_pdf.head(150).copy()
+    long_docs = base[base["content"].str.len().fillna(0) > 800].head(3).copy()
+    assert len(long_docs) >= 2
+    long_docs["path"] = "neardup/" + long_docs["path"]
+    long_docs["content"] = long_docs["content"] + "\nstream_edit = 1\n"
+    batch = pd.concat([base, long_docs], ignore_index=True)
+
+    d = tmp_path / "landing_nd"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(batch, preserve_index=False), str(d / "b1.parquet"))
+    cat = LocalCatalog(str(tmp_path / "cat_nd"))
+    q = streaming_quality_filter(
+        spark,
+        str(d),
+        cat,
+        checkpoint_dir=str(tmp_path / "ckpt_nd"),
+        n_buckets=8,
+        near_dup=True,
+    )
+    q.awaitTermination(300)
+    quar = cat.read_table(spark, "quarantine")
+    nd = quar.filter(F.array_contains("rejection_reasons", "near_dup")).count()
+    assert nd > 0
+    total = cat.read_table(spark, "kept").count() + quar.count()
+    assert total == len(batch)
