@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Cluster sizing → spark-submit conf for the 10^12-file target scale.
+
+The north rule requires partitioning / shuffle / skew handled
+EXPLICITLY. This module is that arithmetic, written down and unit-tested
+instead of living in a runbook: given the cluster shape and the input
+size, it emits the `--conf` set the quality-filter job should run with,
+and the `--buckets` value that caps files-per-task.
+
+Reasoning captured per knob (sources: Spark tuning guide + measured
+behavior of this pipeline at sf0.1 / 1.26M-row bench fixtures):
+
+* shuffle partitions — the pipeline's ONE wide exchange is keyed on the
+  salted bucket; target ~3 tasks per core so a straggling task (page
+  cache miss, slow node) overlaps with work instead of extending the
+  tail, but never fewer than the bucket count would need.
+* bucket count — buckets are the commit/resume unit AND the write
+  granularity: rows/bucket ≈ MAX_FILES_PER_TASK keeps any single
+  bucket's reprocess-after-crash bounded (~1 task of work).
+* maxPartitionBytes — scan-side split size; 128 MiB keeps a scan task's
+  Arrow batches inside the worker's reuse arena (bigger splits re-fault
+  allocator pages, measured in round 1).
+* AQE on, with skew-join splitting — residual skew beyond the salt
+  (e.g. a pathological content-length distribution) is re-split at
+  runtime.
+* python worker memory — the scoring kernel's scratch arenas hold ~100
+  MB steady-state per worker; 512 MiB headroom avoids the OS reclaiming
+  the arena between batches.
+
+Usage:
+  python jobs/cluster_conf.py --executors 250 --cores 4 \
+      --executor-mem-gb 16 --input-rows 1e12
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from data_quality_with_nessie_spark.skew import MAX_FILES_PER_TASK, choose_bucket_count
+
+TASKS_PER_CORE = 3
+MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def plan(executors: int, cores_per_executor: int, executor_mem_gb: int, input_rows: int) -> dict:
+    """Deterministic conf plan for one pipeline run."""
+    total_cores = executors * cores_per_executor
+    n_buckets = choose_bucket_count(input_rows)
+    shuffle_partitions = max(TASKS_PER_CORE * total_cores, 1)
+    # the bucket repartition uses min(n_buckets, shuffle_partitions)
+    # tasks — warn-level note when buckets would under-fill the cluster
+    underparallel = n_buckets < total_cores
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(MAX_PARTITION_BYTES),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        # the mapInArrow workers: one python proc per core
+        "spark.executor.pyspark.memory": "512m",
+        "spark.python.worker.reuse": "true",
+        "spark.speculation": "true",  # kill stragglers at the tail of each stage
+    }
+    return {
+        "total_cores": total_cores,
+        "n_buckets": n_buckets,
+        # HONESTY NOTE: buckets are both the task-sizing unit and (in the
+        # LocalCatalog shim) the commit unit. At 10^12 rows that is ~20M
+        # buckets — fine as shuffle keys, absurd as 20M driver-side
+        # manifest writes. A production deployment groups commits (one
+        # Iceberg snapshot per bucket RANGE / per job stage); the shim's
+        # stage→manifest protocol maps onto that 1:1, it just isn't the
+        # single-file-per-bucket layout at that scale.
+        "commit_grouping_required_above_buckets": 100_000,
+        "rows_per_bucket": math.ceil(input_rows / n_buckets),
+        "max_files_per_task": MAX_FILES_PER_TASK,
+        "underparallel_buckets": underparallel,
+        "conf": conf,
+        "spark_submit_flags": [f"--conf {k}={v}" for k, v in conf.items()],
+        "job_flags": [f"--buckets {n_buckets}"],
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--executors", type=int, required=True)
+    p.add_argument("--cores", type=int, default=4)
+    p.add_argument("--executor-mem-gb", type=int, default=16)
+    p.add_argument("--input-rows", type=float, required=True)
+    a = p.parse_args()
+    print(json.dumps(plan(a.executors, a.cores, a.executor_mem_gb, int(a.input_rows)), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,3 +36,22 @@ def test_pyfiles_artifact(tmp_path):
     assert "data_quality_with_nessie_spark/pipeline.py" in names
     assert "data_quality_with_nessie_spark/rules/kernel.py" in names
     assert all(n.endswith(".py") for n in names)
+
+
+def test_cluster_conf_plan_arithmetic():
+    """10^12-file sizing: buckets cap files-per-task, shuffle partitions
+    target ~3 tasks/core, and the plan is deterministic."""
+    from jobs.cluster_conf import plan
+
+    p = plan(executors=250, cores_per_executor=4, executor_mem_gb=16, input_rows=10**12)
+    assert p["total_cores"] == 1000
+    assert p["conf"]["spark.sql.shuffle.partitions"] == "3000"
+    # every bucket is at most one task's worth of files
+    assert p["rows_per_bucket"] <= p["max_files_per_task"]
+    assert p["n_buckets"] * p["max_files_per_task"] >= 10**12
+    assert not p["underparallel_buckets"]
+    # tiny input on a big cluster IS flagged
+    small = plan(executors=250, cores_per_executor=4, executor_mem_gb=16, input_rows=10**6)
+    assert small["underparallel_buckets"] is False or small["n_buckets"] >= 64
+    # CLI shape
+    assert any(f.startswith("--conf spark.sql.shuffle.partitions=") for f in p["spark_submit_flags"])
