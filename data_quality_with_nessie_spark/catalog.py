@@ -41,6 +41,7 @@ import shutil
 import uuid
 
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401  (pa.compute used in invalidation)
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
@@ -148,7 +149,10 @@ class LocalCatalog:
         Lineage rows are removed FIRST, then the published bucket dirs —
         so a crash between the two leaves the bucket merely uncommitted
         (rolled back + reprocessed by the next run), never a lineage row
-        pointing at deleted data.
+        pointing at deleted data. A GROUPED manifest containing a doomed
+        bucket is deleted whole and its surviving rows re-written under
+        a fresh name; a crash inside that window un-commits the whole
+        group — wasteful (full reprocess) but never wrong.
         """
         if not buckets:
             return
@@ -159,13 +163,23 @@ class LocalCatalog:
         for f in list(os.listdir(mdir)):
             if not f.endswith(".parquet"):
                 continue
-            stem = f[: -len(".parquet")]
-            try:
-                bucket = int(stem.rsplit("-", 1)[1])
-            except (IndexError, ValueError):
+            path = os.path.join(mdir, f)
+            tbl = pq.read_table(path)
+            present = set(tbl.column("bucket").to_pylist())
+            if not (present & buckets):
                 continue
-            if bucket in buckets:
-                os.remove(os.path.join(mdir, f))
+            survivors = tbl.filter(
+                pa.compute.invert(
+                    pa.compute.is_in(tbl.column("bucket"), value_set=pa.array(sorted(buckets)))
+                )
+            )
+            os.remove(path)
+            if survivors.num_rows:
+                stem = f[: -len(".parquet")]
+                final = os.path.join(mdir, f"{stem}-pruned-{uuid.uuid4().hex[:8]}.parquet")
+                tmp = final + ".tmp"
+                pq.write_table(survivors, tmp)
+                os.rename(tmp, final)
         # data files second: once the manifests are gone these are mere
         # orphans (invisible to readers), so a crash here only defers the
         # deletion to the next rollback's GC
@@ -218,15 +232,24 @@ class LocalCatalog:
         started_at: dt.datetime,
         keys_xor: int = 0,
     ) -> None:
-        """Atomic publish of one bucket: unique-name data files + ONE
-        manifest row (the Iceberg commit pattern).
+        """Atomic publish of one bucket (a group of size 1)."""
+        self.commit_group(
+            run_id,
+            [
+                {
+                    "bucket": bucket,
+                    "rows_in": rows_in,
+                    "rows_out": rows_out,
+                    "rule_hits": rule_hits,
+                    "started_at": started_at,
+                    "keys_xor": keys_xor,
+                }
+            ],
+        )
 
-        Data files first, each moved to a fresh ``{run_id}-`` name that
-        cannot pre-exist; the manifest (lineage row + file lists) lands
-        LAST under its own fresh name — so a crash at any earlier point
-        leaves only reader-invisible orphans, and no step ever renames
-        over an existing path (object-store-safe: every step is a PUT).
-        """
+    def _publish_bucket_files(self, run_id: str, bucket: int) -> dict[str, list[str]]:
+        """Move one bucket's staged data files to fresh unique names
+        under the final table; returns the per-table relative file lists."""
         file_lists: dict[str, list[str]] = {}
         for table in (KEPT, QUARANTINE):
             src = os.path.join(self.staging_dir(run_id), table, f"bucket={bucket}")
@@ -243,18 +266,42 @@ class LocalCatalog:
                     os.rename(os.path.join(src, f), target)
                     rels.append(os.path.join(table, f"bucket={bucket}", unique))
             file_lists[f"{table}_files"] = rels
-        row = {
-            "bucket": bucket,
-            "branch": run_id,
-            "commit_ref": uuid.uuid4().hex,
-            "rows_in": rows_in,
-            "rows_out": rows_out,
-            "keys_xor": keys_xor,
-            "rule_hits": rule_hits,
-            "started_at": started_at,
-            "committed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
-            **file_lists,
-        }
+        return file_lists
+
+    def commit_group(self, run_id: str, entries: list[dict]) -> None:
+        """Atomic publish of a GROUP of buckets: unique-name data files +
+        ONE manifest file holding one lineage row per bucket (the
+        Iceberg commit pattern; a snapshot covering a bucket range).
+
+        Data files first, each moved to a fresh ``{run_id}-`` name that
+        cannot pre-exist; the manifest lands LAST under its own fresh
+        name — a crash at any earlier point leaves only reader-invisible
+        orphans, and no step ever renames over an existing path
+        (object-store-safe: every step is a PUT). Group size trades
+        commit granularity (crash inside a group reprocesses the whole
+        group) against manifest count — at 10^12-row bucket counts the
+        single-bucket layout is too many files (jobs/cluster_conf.py).
+        """
+        if not entries:
+            return
+        rows = []
+        for e in entries:
+            bucket = e["bucket"]
+            file_lists = self._publish_bucket_files(run_id, bucket)
+            rows.append(
+                {
+                    "bucket": bucket,
+                    "branch": run_id,
+                    "commit_ref": uuid.uuid4().hex,
+                    "rows_in": e["rows_in"],
+                    "rows_out": e["rows_out"],
+                    "keys_xor": e.get("keys_xor", 0),
+                    "rule_hits": e["rule_hits"],
+                    "started_at": e["started_at"],
+                    "committed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+                    **file_lists,
+                }
+            )
         schema = pa.schema(
             [
                 pa.field("bucket", pa.int32()),
@@ -270,10 +317,18 @@ class LocalCatalog:
                 pa.field(f"{QUARANTINE}_files", pa.list_(pa.string())),
             ]
         )
-        tbl = pa.Table.from_pylist([{**row, "rule_hits": list(row["rule_hits"].items())}], schema=schema)
+        tbl = pa.Table.from_pylist(
+            [{**r, "rule_hits": list(r["rule_hits"].items())} for r in rows], schema=schema
+        )
         # tmp → rename to a name that NEVER pre-exists (run_id is fresh):
         # on an object store this whole dance is a single PUT of `final`
-        final = os.path.join(self.root, METRICS, f"{run_id}-bucket-{bucket}.parquet")
+        lo, hi = rows[0]["bucket"], rows[-1]["bucket"]
+        name = (
+            f"{run_id}-bucket-{lo}.parquet"
+            if len(rows) == 1
+            else f"{run_id}-group-{lo}-{hi}.parquet"
+        )
+        final = os.path.join(self.root, METRICS, name)
         assert not os.path.exists(final), f"manifest collision: {final}"
         tmp = final + ".tmp"
         pq.write_table(tbl, tmp)

@@ -152,6 +152,7 @@ def run(
     verify_committed: bool = True,
     near_dup: bool = False,
     staged_write: bool = True,
+    commit_group_size: int = 1,
 ) -> dict:
     """One resumable pipeline run. Returns a summary dict.
 
@@ -183,6 +184,10 @@ def run(
     (BENCH/BASELINE.md). ``staged_write=False`` keeps the classified
     frame in MEMORY_AND_DISK cache instead (one fewer disk round-trip;
     only competitive when the whole batch fits in executor memory).
+
+    ``commit_group_size`` batches N buckets per manifest write: crash
+    granularity coarsens to the group, manifest count shrinks N× — use
+    >1 when bucket counts are large (see jobs/cluster_conf.py).
     """
     started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     catalog.rollback_uncommitted()
@@ -284,16 +289,22 @@ def run(
         if cleanup is not None:
             cleanup()
 
-    for bucket in sorted(stats):
-        s = stats[bucket]
-        catalog.commit_bucket(
+    ordered = sorted(stats)
+    for i in range(0, len(ordered), max(commit_group_size, 1)):
+        group = ordered[i : i + max(commit_group_size, 1)]
+        catalog.commit_group(
             run_id,
-            bucket,
-            rows_in=s["rows_in"],
-            rows_out=s["rows_out"] or 0,
-            rule_hits={n: int(s[f"hits_{n}"] or 0) for n in rule_names},
-            started_at=started,
-            keys_xor=int(s["keys_xor"] or 0),
+            [
+                {
+                    "bucket": b,
+                    "rows_in": stats[b]["rows_in"],
+                    "rows_out": stats[b]["rows_out"] or 0,
+                    "rule_hits": {n: int(stats[b][f"hits_{n}"] or 0) for n in rule_names},
+                    "started_at": started,
+                    "keys_xor": int(stats[b]["keys_xor"] or 0),
+                }
+                for b in group
+            ],
         )
     catalog.drop_branch(run_id)
     return {

@@ -36,6 +36,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="corpus-level near-dup dedup pre-pass (quarantines non-keepers)",
     )
     p.add_argument(
+        "--commit-group-size",
+        type=int,
+        default=1,
+        help="buckets per manifest commit (raise at large bucket counts; "
+        "see jobs/cluster_conf.py)",
+    )
+    p.add_argument(
         "--persist-cache",
         action="store_true",
         help="cache the classified frame instead of the default combined "
@@ -85,6 +92,7 @@ def main(argv: list[str] | None = None) -> dict:
         n_buckets=n_buckets,
         near_dup=args.near_dup,
         staged_write=not args.persist_cache,
+        commit_group_size=args.commit_group_size,
     )
     print(json.dumps(summary))
     return summary

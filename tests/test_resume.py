@@ -168,3 +168,30 @@ def test_same_count_different_keys_detected(spark, sdf, input_pdf, tmp_path):
     quar = cat.read_table(spark, "quarantine").select("path").toPandas()["path"]
     all_paths = set(out) | set(quar)
     assert str(mutated.loc[mutated.index[0], "path"]) in all_paths
+
+
+def test_grouped_commit_equivalent_and_resumable(spark, sdf, input_pdf, tmp_path):
+    """commit_group_size>1 writes fewer manifests with identical state:
+    same outputs, same committed set, resume and invalidation intact."""
+    import os
+
+    a = LocalCatalog(str(tmp_path / "single"))
+    b = LocalCatalog(str(tmp_path / "grouped"))
+    run(spark, sdf, a, n_buckets=N_BUCKETS)
+    run(spark, sdf, b, n_buckets=N_BUCKETS, commit_group_size=3)
+    n_manifests = lambda c: len(
+        [f for f in os.listdir(os.path.join(c.root, "metrics")) if f.endswith(".parquet")]
+    )
+    assert n_manifests(b) == 3  # ceil(8/3)
+    assert n_manifests(a) == N_BUCKETS
+    assert a.read_table(spark, "kept").count() == b.read_table(spark, "kept").count()
+    assert sorted(b.committed_buckets(spark)) == list(range(N_BUCKETS))
+    # resume no-op works off grouped manifests
+    again = run(spark, sdf, b, n_buckets=N_BUCKETS, commit_group_size=3)
+    assert again["buckets_processed"] == []
+    # invalidating one bucket inside a group preserves the group's others
+    b.invalidate_buckets({4})
+    assert sorted(b.committed_buckets(spark)) == [x for x in range(N_BUCKETS) if x != 4]
+    third = run(spark, sdf, b, n_buckets=N_BUCKETS, commit_group_size=3)
+    assert third["buckets_processed"] == [4]
+    assert a.read_table(spark, "kept").count() == b.read_table(spark, "kept").count()
