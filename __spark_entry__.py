@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.quality_score,
         "langid_stopword": T.langid_stopword,
         "doc_fingerprint": T.doc_fingerprint,
+        "length_quantiles": T.length_quantiles,
         "quality_filter_documents": T.quality_filter_documents,
         # --- events / windowed analytics ---
         "sessionize": E.sessionize,
@@ -639,6 +640,20 @@ def oracle_sql() -> dict[str, str]:
                          WHEN hits_fr > 0 THEN 'fr'
                          ELSE 'unknown' END) = lang AS agrees_with_label
             FROM t
+        """,
+        "length_quantiles": f"""
+            WITH b AS (
+                SELECT lang, length(text) AS n_chars, len({_TOK}) AS n_tokens
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS chars_p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS chars_p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS chars_p99,
+                   round(quantile_cont(n_tokens, 0.5), 4) AS tokens_p50,
+                   round(quantile_cont(n_tokens, 0.9), 4) AS tokens_p90,
+                   round(quantile_cont(n_tokens, 0.99), 4) AS tokens_p99
+            FROM b GROUP BY lang
         """,
         "doc_fingerprint": """
             SELECT doc_id,

@@ -163,3 +163,37 @@ def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.alias("reasons"),
         F.sha2(scrubbed, 256).alias("scrubbed_sha256"),
     )
+
+
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language char/token length quantiles — the corpus-profiling
+    aggregate behind length-based filter thresholds (the reference tunes
+    its range rules by eyeballing; this computes the distribution).
+
+    Uses EXACT ``percentile`` (interpolated, identical math to DuckDB's
+    ``quantile_cont``) — at 100 TB swap for ``approx_percentile`` with a
+    documented accuracy budget; exactness here keeps the oracle exact.
+    One partial-aggregated pass, grouped on the low-cardinality lang key.
+    """
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    qs = "array(0.5, 0.9, 0.99)"
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"percentile(n_chars, {qs})").alias("qc"),
+        F.expr(f"percentile(n_tokens, {qs})").alias("qt"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("qc")[0], 4).alias("chars_p50"),
+        F.round(F.col("qc")[1], 4).alias("chars_p90"),
+        F.round(F.col("qc")[2], 4).alias("chars_p99"),
+        F.round(F.col("qt")[0], 4).alias("tokens_p50"),
+        F.round(F.col("qt")[1], 4).alias("tokens_p90"),
+        F.round(F.col("qt")[2], 4).alias("tokens_p99"),
+    )
