@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_stopword": T.langid_stopword,
         "doc_fingerprint": T.doc_fingerprint,
         "length_quantiles": T.length_quantiles,
+        "vocab_top_tokens": T.vocab_top_tokens,
         "quality_filter_documents": T.quality_filter_documents,
         # --- events / windowed analytics ---
         "sessionize": E.sessionize,
@@ -640,6 +641,14 @@ def oracle_sql() -> dict[str, str]:
                          WHEN hits_fr > 0 THEN 'fr'
                          ELSE 'unknown' END) = lang AS agrees_with_label
             FROM t
+        """,
+        "vocab_top_tokens": f"""
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest({_TOK}) AS token FROM documents)
+            WHERE token != ''
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 100
         """,
         "length_quantiles": f"""
             WITH b AS (

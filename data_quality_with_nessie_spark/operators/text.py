@@ -197,3 +197,23 @@ def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qt")[1], 4).alias("tokens_p90"),
         F.round(F.col("qt")[2], 4).alias("tokens_p99"),
     )
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-k tokens by document-spanning
+    occurrence count.
+
+    Plan shape at 100 TB: explode is narrow; the groupBy benefits from
+    map-side partial aggregation, so the shuffle carries one row per
+    DISTINCT token per task (Zipf-bounded), not the token stream; the
+    final top-k is a single-partition sort of the (tiny) aggregated
+    vocabulary tail via TakeOrdered. (A count-min/Misra-Gries sketch is
+    the sub-vocabulary-memory variant; exact-with-partial-agg is both
+    faster and oracle-exact at any realistic vocabulary size.)
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
