@@ -272,6 +272,7 @@ def near_dup_drop_ids(
     source: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     use_kernel: bool = False,
+    committed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate NON-keepers of a pipeline input frame, as one
     column of ``doc_id`` = :func:`~...functions.columns.doc_key_id`.
@@ -288,6 +289,15 @@ def near_dup_drop_ids(
     near-dups; prefer it at scale (no shingle-stream shuffle). The
     default stays on the md5 path, which the frozen pandas labeler
     reproduces bit-for-bit (golden tests).
+
+    ``committed_ids`` (one ``doc_id`` column) makes keeper selection
+    RE-INGEST-STABLE: a cluster containing an already-committed member
+    keeps that member (min-id among committed) and drops only pending
+    rows — the reference's NOT-IN re-ingest semantics
+    (``ingest.py:70-83``) lifted to near-dup clusters. Without it, a
+    newly arrived twin with a smaller id would steal keeper-ship from a
+    committed original, and since committed buckets are never
+    reclassified BOTH copies would survive.
     """
     from ..functions.columns import doc_key_id
 
@@ -300,7 +310,17 @@ def near_dup_drop_ids(
 
         candidates = kernel_candidate_pairs_frame(docs)
     clusters = cluster_frame(verified_pairs_frame(docs, threshold, candidates))
-    return clusters.filter(~F.col("is_keeper")).select("doc_id")
+    if committed_ids is None:
+        return clusters.filter(~F.col("is_keeper")).select("doc_id")
+    members = clusters.join(
+        committed_ids.select("doc_id").distinct().withColumn("_c", F.lit(True)),
+        "doc_id",
+        "left",
+    ).withColumn("committed", F.coalesce(F.col("_c"), F.lit(False)))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("committed"), F.asc("doc_id"))
+    ranked = members.withColumn("_rn", F.row_number().over(w))
+    # drop = pending non-keepers (committed rows are immutable anyway)
+    return ranked.filter((F.col("_rn") > 1) & ~F.col("committed")).select("doc_id")
 
 
 # ---------------------------------------------------------------------------

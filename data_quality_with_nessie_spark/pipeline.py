@@ -204,6 +204,7 @@ def run(
         pending = pending.withColumn("bucket", F.col("bucket") + F.lit(bucket_offset))
     # only buckets this source CAN produce are in scope for verification —
     # other epochs' buckets (streaming) legitimately have zero rows here.
+    invalidated_kept_ids = None
     scope = {b for b in committed if bucket_offset <= b < bucket_offset + n_buckets}
     if scope and verify_committed:
         lineage = catalog.lineage_by_bucket()
@@ -226,6 +227,16 @@ def run(
             ):
                 changed.add(b)
         if changed:
+            if near_dup:
+                # snapshot the doomed buckets' published-kept keys BEFORE
+                # invalidation deletes their data files (localCheckpoint
+                # materializes; the set is small — changed buckets only)
+                invalidated_kept_ids = (
+                    catalog.read_table(spark, KEPT)
+                    .filter(F.col("bucket").isin(sorted(changed)))
+                    .select(doc_key_id().alias("doc_id"))
+                    .localCheckpoint()
+                )
             catalog.invalidate_buckets(changed)
             committed -= changed
     if committed:
@@ -236,7 +247,27 @@ def run(
     if near_dup:
         from .operators.dedup import near_dup_drop_ids
 
-        drop_ids = near_dup_drop_ids(source)
+        # keeper preference: cluster members already PUBLISHED AS KEPT
+        # win their cluster, so a re-ingested near-dup of a kept row is
+        # dropped instead of stealing keeper-ship (committed buckets are
+        # never reclassified — without this, both copies would survive).
+        # Quarantined rows get no preference: a cleaner twin of a
+        # rejected doc may still earn keep on its own merits. Rows of
+        # just-invalidated buckets keep their preference via the
+        # snapshot taken above (they WERE published; they are merely
+        # being reprocessed).
+        kept_ids = None
+        if committed:
+            kept_ids = catalog.read_table(spark, KEPT).select(
+                doc_key_id().alias("doc_id")
+            )
+        if invalidated_kept_ids is not None:
+            kept_ids = (
+                invalidated_kept_ids
+                if kept_ids is None
+                else kept_ids.unionByName(invalidated_kept_ids)
+            )
+        drop_ids = near_dup_drop_ids(source, committed_ids=kept_ids)
         rule_names = RULE_NAMES + ("near_dup",)
     classified = classify(pending, n_buckets, bucketed=True, drop_ids=drop_ids)
 

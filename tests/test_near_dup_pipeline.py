@@ -90,3 +90,50 @@ def test_near_dup_lineage_hits(nd_outputs):
     hits = sum(dict(h).get("near_dup", 0) for h in metrics["rule_hits"])
     n_nd = quar["rejection_reasons"].map(lambda r: "near_dup" in list(r)).sum()
     assert hits == n_nd > 0
+
+
+def test_reingest_near_dup_prefers_committed_keeper(spark, input_pdf, tmp_path):
+    """A near-dup twin arriving AFTER its original was committed is
+    quarantined, and the committed original stays kept — for EVERY
+    planted twin, regardless of which side has the smaller doc id
+    (without keeper preference, ~half would steal keeper-ship and both
+    copies would survive)."""
+    from pyspark.sql import functions as F
+
+    from reference_impl.labeler import _shingle_set
+
+    base = input_pdf.head(400).copy()
+    cat = LocalCatalog(str(tmp_path))
+    sdf = spark.createDataFrame(base, schema=SOURCE_FILES)
+    run(spark, sdf, cat, n_buckets=8, near_dup=True)
+    kept_before = set(cat.read_table(spark, "kept").select("path").toPandas()["path"])
+
+    suffix = "\nlate_twin = 1\n"
+
+    def _j(text):
+        a, b = _shingle_set(text), _shingle_set(text + suffix)
+        return len(a & b) / len(a | b) if (a | b) else 0.0
+
+    originals = base[
+        base["path"].isin(kept_before) & (base["content"].str.len().fillna(0) > 600)
+    ]
+    originals = originals[originals["content"].map(_j) >= 0.85].head(8)
+    assert len(originals) >= 4
+    twins = originals.copy()
+    twins["path"] = "latetwin/" + twins["path"]
+    twins["content"] = twins["content"] + suffix
+
+    grown = spark.createDataFrame(
+        pd.concat([base, twins], ignore_index=True), schema=SOURCE_FILES
+    )
+    run(spark, grown, cat, n_buckets=8, near_dup=True)
+
+    kept_after = set(cat.read_table(spark, "kept").select("path").toPandas()["path"])
+    quar = cat.read_table(spark, "quarantine").toPandas()
+    nd_paths = set(
+        quar[quar["rejection_reasons"].map(lambda r: "near_dup" in list(r))]["path"]
+    )
+    for _, row in twins.iterrows():
+        orig = row["path"][len("latetwin/") :]
+        assert orig in kept_after, f"committed original {orig} must stay kept"
+        assert row["path"] in nd_paths, f"late twin {row['path']} must be near_dup-quarantined"
