@@ -137,3 +137,55 @@ def test_reingest_near_dup_prefers_committed_keeper(spark, input_pdf, tmp_path):
         orig = row["path"][len("latetwin/") :]
         assert orig in kept_after, f"committed original {orig} must stay kept"
         assert row["path"] in nd_paths, f"late twin {row['path']} must be near_dup-quarantined"
+
+
+def test_cluster_frame_matches_union_find(spark):
+    """Min-label propagation == union-find on random graphs (seeded):
+    same components, same min-id keeper, regardless of shape (chains,
+    stars, cycles, singleton-free)."""
+    import random
+
+    from data_quality_with_nessie_spark.operators.dedup import cluster_frame
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(6):
+        n = rng.randint(2, 40)
+        ids = rng.sample(range(-(10**12), 10**12), n)
+        edges = set()
+        for _ in range(rng.randint(1, 60)):
+            a, b = rng.sample(ids, 2)
+            edges.add((min(a, b), max(a, b)))
+        # long chain to exercise multi-round propagation (diameter > 2)
+        chain = sorted(rng.sample(ids, min(n, 12)), key=lambda x: rng.random())
+        for x, y in zip(chain, chain[1:]):
+            edges.add((min(x, y), max(x, y)))
+
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        want = {}
+        for i in ids:
+            want.setdefault(find(i), []).append(i)
+        expected = {
+            i: min(members) for members in want.values() for i in members if len(members) > 0
+        }
+        # only nodes with >=1 edge appear in cluster_frame's output
+        touched = {a for a, _ in edges} | {b for _, b in edges}
+
+        edf = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], ["doc_a", "doc_b"]
+        )
+        got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in cluster_frame(edf).collect()}
+        assert set(got) == touched, f"trial {trial}"
+        for i in touched:
+            assert got[i][0] == expected[i], f"trial {trial} node {i}"
+            assert got[i][1] == (i == expected[i]), f"trial {trial} keeper {i}"
