@@ -53,8 +53,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     queries = entry_mod.queries()
     out: dict[str, float] = {}
     for name in names:
-        df = queries[name](spark, sf_dir)
+        # time construction + materialization: iterative operators
+        # (dedup_clusters' label propagation) run actions while BUILDING
+        # the frame — timing only the final materialize would hide them
         t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
         _materialize(df)
         out[name] = round(time.perf_counter() - t0, 3)
     return out
