@@ -91,3 +91,30 @@ def test_sql_surface_over_catalog_and_datasets(spark, input_pdf, tmp_path):
     assert "nation" in names and "lineitem" in names
     n = sql(spark, "SELECT count(*) AS n FROM nation").collect()[0]["n"]
     assert n == 25
+
+
+def test_schema_drift_tolerated(spark, input_pdf, tmp_path):
+    """Explicit-schema reads must survive input drift: extra columns are
+    ignored, a missing declared column reads as null (and the null-field
+    rule quarantines rows needing it), never a scan failure."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_with_nessie_spark.pipeline import read_source
+
+    drifted = input_pdf.head(50).copy()
+    drifted["surprise_col"] = "x"  # extra column
+    del drifted["lang"]  # missing declared column
+    p = str(tmp_path / "drift")
+    pq.write_table(pa.Table.from_pandas(drifted, preserve_index=False), p + ".parquet")
+    import os
+
+    os.makedirs(p)
+    os.rename(p + ".parquet", os.path.join(p, "part-0.parquet"))
+
+    df = read_source(spark, p)
+    assert [f.name for f in df.schema.fields] == ["repo", "path", "commit", "lang", "content"]
+    rows = df.collect()
+    assert len(rows) == 50
+    assert all(r["lang"] is None for r in rows)
+    assert all(r["content"] is not None for r in rows[:5])
