@@ -196,7 +196,12 @@ class LocalCatalog:
         dirs left by dead runs. Single-writer protocol: this is called at
         run start, so every existing staging dir belongs to a run that is
         no longer alive (clean completion drops its own branch) — without
-        this purge, crash-resume cycles leak staged data forever."""
+        this purge, crash-resume cycles leak staged data forever.
+
+        Scale note: this walks every data file (O(files), driver-side).
+        Because readers never see orphans, GC is housekeeping, not
+        correctness — at large file counts run it out-of-band / rarely
+        (the Iceberg backend's expire-snapshots/orphan-removal role)."""
         sdir = os.path.join(self.root, "staging")
         for entry in os.listdir(sdir):
             shutil.rmtree(os.path.join(sdir, entry), ignore_errors=True)
