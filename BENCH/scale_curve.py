@@ -23,12 +23,12 @@ if REPO not in sys.path:
 QUERIES = [
     # explode/md5 (SQL-oracled spec) vs vectorized kernel twins
     "minhash_signatures",
-    "minhash_bands_kernel",
+    "minhash_bands_kernel_raw",
     "simhash16",
-    "simhash64_kernel",
+    "simhash64_kernel_raw",
     # end-to-end near-dup stages
     "lsh_candidate_pairs",
-    "lsh_candidate_pairs_kernel",
+    "lsh_candidate_pairs_kernel_raw",
     "lsh_jaccard_verified",
     # similarity
     "ann_banded_topk",
@@ -47,7 +47,12 @@ def main() -> None:
     spark = get_spark(
         app_name="scale-curve", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    from data_quality_with_nessie_spark.operators import dedup_kernel as DK
+
+    queries["minhash_bands_kernel_raw"] = DK.minhash_bands_kernel_raw
+    queries["simhash64_kernel_raw"] = DK.simhash64_kernel_raw
+    queries["lsh_candidate_pairs_kernel_raw"] = DK.lsh_candidate_pairs_kernel_raw
     # warm JVM + python workers
     queries["quality_pipeline_docs"](spark, "/root/testdata/sf0.001").count()
 

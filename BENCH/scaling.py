@@ -1,14 +1,28 @@
 """Scaling-efficiency benchmark: the same quality-filter job at two
-parallelism levels (local[8] vs local[32]) on the same input — the
+parallelism levels (local[2] vs local[8]) on the same input — the
 sandbox stand-in for the north rule's N vs 4N executor clusters.
 
-Runs each level in a fresh subprocess (one JVM per master setting),
-measures steady-state files/sec of the full pipeline hot path
-(bucketing → rules → scorer UDFs → scrub → materialization), and writes
-BENCH/BASELINE.md + BENCH/scaling.json.
+Round-3 methodology (closes the round-2 ADVICE finding and VERDICT item 1):
 
-Usage:  python BENCH/scaling.py            # orchestrates both levels
+- PAIRED, INTERLEAVED runs: each "pair" runs level-2 then level-8
+  back-to-back in fresh subprocesses (one JVM per master setting), so
+  both levels of a pair see the same host conditions. ≥5 pairs per run.
+- EXTERNAL-LOAD accounting per sample: during each level's measurement
+  we diff /proc/stat total busy jiffies against the benchmark's own
+  process-subtree CPU (sampled from /proc each second — RUSAGE_CHILDREN
+  misses the JVM grandchild); the remainder / wall-clock is the average
+  number of cores consumed by NEIGHBORS while we measured (hypervisor
+  steal counts as external and is also reported separately).
+  A pair is "quiet" iff both its levels saw external load < threshold.
+- HEADLINE = THIS RUN ONLY: efficiency is computed from min-over-quiet-
+  pairs of the current invocation. The best pair ever recorded is kept
+  as a separate `best_historical` capability field and can no longer
+  mask a regression (the round-2 harness reported max-over-history as
+  the headline — ADVICE medium #2).
+
+Usage:  python BENCH/scaling.py            # orchestrates the paired runs
         python BENCH/scaling.py --level 8  # one measurement (internal)
+        DQ_BENCH_PAIRS=3 python BENCH/scaling.py   # fewer pairs (debug)
 """
 
 from __future__ import annotations
@@ -16,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import subprocess
+import tempfile
 import sys
 import time
 
@@ -32,16 +47,16 @@ N_FILES = 16  # parquet files → parallel scan from the first stage on
 # N vs 4N. Chosen after measuring the HOST's own scaling: pure-CPU
 # subprocess work scales at ~0.97 efficiency up to 16 procs but only
 # 0.76 from 8→32 on this VM (the top cores are shared/throttled), so a
-# low-N pair measures software overhead — not hardware limits. Wall
-# times on this box also vary up to 1.6× run-to-run from neighbor
-# noise; the reported number is the min over repeats (capability, not
-# luck-of-the-draw).
+# low-N pair measures software overhead — not hardware limits.
 LEVELS = (2, 8)
-REPEATS = 4  # first run warms the JVM/Arrow workers; min of rest reported
+REPEATS = int(os.environ.get("DQ_BENCH_REPEATS", "3"))  # 1st warms JVM; min of rest
+PAIRS = int(os.environ.get("DQ_BENCH_PAIRS", "5"))
+# avg neighbor cores during a sample above which the pair is not "quiet".
+EXTERNAL_LOAD_THRESHOLD = float(os.environ.get("DQ_BENCH_EXT_LOAD_MAX", "1.5"))
 
 
 def ensure_fixture() -> int:
-    """~300k-row fixture: a seeded 60k base tiled 5× with distinct
+    """~1.26M-row fixture: a seeded 60k base tiled 20× with distinct
     commits/prefixes (cheap pandas ops — per-row generation would take
     minutes), written as N_FILES parquet files so the scan itself
     parallelizes. Sized so compute dominates fixed overheads at both
@@ -99,8 +114,90 @@ def measure(level: int) -> dict:
         classify(src, n_buckets=64).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
     spark.stop()
-    t = min(times[1:])
+    t = min(times[1:]) if len(times) > 1 else times[0]
     return {"level": level, "rows": rows, "sec": round(t, 3), "files_per_sec": round(rows / t, 1)}
+
+
+def _total_busy_jiffies() -> tuple[int, int]:
+    """(busy, steal) jiffies — busy is everything except idle+iowait and
+    INCLUDES steal (cycles the hypervisor gave to a noisy co-tenant are
+    cores this job could not use, i.e. external load); steal is also
+    returned separately so the samples show host-level vs in-VM noise."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals) - vals[3] - vals[4], steal
+
+
+def _sweep_subtree(root_pid: int, seen_max: dict) -> None:
+    """Accumulate per-pid max(utime+stime) jiffies over the DESCENDANT
+    tree of ``root_pid`` (the benchmark child incl. its JVM, Arrow
+    workers, …). RUSAGE_CHILDREN misses the JVM (it is a grandchild not
+    reliably rolled up at reap time — measured: the level-8 JVM showed
+    up as 7 'external' cores), so own-CPU is sampled from /proc instead.
+    Jiffy counters are monotonic per pid; keeping the max per pid makes
+    the final sum robust to sampling order, and a pid that exits between
+    sweeps loses at most one sweep interval of CPU."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                rest = fh.read().rsplit(")", 1)[1].split()
+        except (OSError, IndexError):
+            continue
+        # after the comm field: state(0) ppid(1) ... utime(11) stime(12)
+        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    desc = {root_pid}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in desc and pid not in desc:
+                desc.add(pid)
+                grew = True
+    for pid in desc:
+        if pid in procs and procs[pid][1] > seen_max.get(pid, -1):
+            seen_max[pid] = procs[pid][1]
+
+
+def run_level(level: int) -> dict:
+    """Run one level in a fresh subprocess; attribute CPU during the run
+    to us (sampled /proc subtree) vs neighbors (/proc/stat remainder)."""
+    hz = os.sysconf("SC_CLK_TCK")
+    (j0, s0), t0 = _total_busy_jiffies(), time.perf_counter()
+    # temp files, not PIPEs: the child's stderr carries Spark logs that
+    # would fill a pipe buffer and deadlock the un-drained child
+    with tempfile.TemporaryFile("w+") as fout, tempfile.TemporaryFile("w+") as ferr:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--level", str(level)],
+            stdout=fout,
+            stderr=ferr,
+            text=True,
+            cwd=REPO,
+        )
+        seen: dict[int, int] = {}
+        while proc.poll() is None:
+            _sweep_subtree(proc.pid, seen)
+            time.sleep(1.0)
+        _sweep_subtree(proc.pid, seen)
+        wall = time.perf_counter() - t0
+        fout.seek(0)
+        out = fout.read()
+        if proc.returncode:
+            ferr.seek(0)
+            raise RuntimeError(f"level {level} failed: {ferr.read()[-2000:]}")
+    j1, s1 = _total_busy_jiffies()
+    busy_sec = (j1 - j0) / hz
+    own_sec = sum(seen.values()) / hz
+    sample = json.loads(out.strip().splitlines()[-1])
+    sample["external_load"] = round(max(0.0, busy_sec - own_sec) / wall, 2)
+    sample["own_load"] = round(own_sec / wall, 2)
+    sample["steal_load"] = round((s1 - s0) / hz / wall, 2)
+    sample["wall"] = round(wall, 1)
+    return sample
 
 
 def main() -> None:
@@ -110,71 +207,104 @@ def main() -> None:
         return
 
     ensure_fixture()
-    results = {}
-    for level in LEVELS:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--level", str(level)],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            check=True,
-        )
-        results[level] = json.loads(out.stdout.strip().splitlines()[-1])
-        print(results[level])
-
     lo, hi = LEVELS
-    speedup = results[hi]["files_per_sec"] / results[lo]["files_per_sec"]
-    efficiency = speedup / (hi / lo)
+    pair_records = []
+    for i in range(PAIRS):
+        pair = {}
+        for level in LEVELS:
+            s = run_level(level)
+            pair[level] = s
+            print(json.dumps(s), flush=True)
+        eff = (pair[hi]["files_per_sec"] / pair[lo]["files_per_sec"]) / (hi / lo)
+        rec = {
+            "pair": [pair[lo]["sec"], pair[hi]["sec"]],
+            "efficiency": round(eff, 3),
+            "external_load": [pair[lo]["external_load"], pair[hi]["external_load"]],
+            "quiet": max(pair[lo]["external_load"], pair[hi]["external_load"])
+            < EXTERNAL_LOAD_THRESHOLD,
+        }
+        pair_records.append(rec)
+        print(f"pair {i + 1}/{PAIRS}: {rec}", flush=True)
 
-    # MERGE with prior runs instead of clobbering: wall-clock here is
-    # neighbor-load-bound (see the honesty notes), so the artifact keeps
-    # every same-run pair and reports the best one as capability.
+    quiet = [p for p in pair_records if p["quiet"]]
+    window_quiet = len(quiet) > 0
+    usable = quiet if window_quiet else pair_records
+    # min-over-pairs per level within the (quiet) window: wall-clock on
+    # this host is one-sided noise (neighbors only ever slow us down),
+    # so min is the capability estimator — documented methodology.
+    t_lo = min(p["pair"][0] for p in usable)
+    t_hi = min(p["pair"][1] for p in usable)
+    rows = ensure_fixture()
+    results = {
+        lo: {"level": lo, "rows": rows, "sec": t_lo, "files_per_sec": round(rows / t_lo, 1)},
+        hi: {"level": hi, "rows": rows, "sec": t_hi, "files_per_sec": round(rows / t_hi, 1)},
+    }
+    speedup = results[hi]["files_per_sec"] / results[lo]["files_per_sec"]
+    efficiency = round(speedup / (hi / lo), 3)
+
+    # History: keep every prior sample for honesty, and the best pair
+    # ever recorded as a SEPARATE capability field — the headline
+    # efficiency/passed above comes from THIS run only, so a genuine
+    # regression flips the gate (round-2 ADVICE medium #2).
     path = os.path.join(REPO, "BENCH", "scaling.json")
     prior = {}
     if os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh)
-    samples = prior.get("all_round2_samples", prior.get("all_samples", []))
-    samples = [s for s in samples if "pair" in s or "note" in s]
-    this_pair = {
-        "pair": [results[lo]["sec"], results[hi]["sec"]],
-        "efficiency": round(efficiency, 3),
-    }
-    samples.append(this_pair)
-    pairs = [s for s in samples if "pair" in s]
-    best = max(pairs, key=lambda s: s["efficiency"])
-    if best is this_pair:
-        best_levels = results
-    elif prior.get("levels") and prior.get("efficiency") == best["efficiency"]:
-        best_levels = prior["levels"]
-    else:
-        t2, t8 = best["pair"]
-        rows = results[lo]["rows"]
-        best_levels = {
-            str(lo): {"level": lo, "rows": rows, "sec": t2, "files_per_sec": round(rows / t2, 1)},
-            str(hi): {"level": hi, "rows": rows, "sec": t8, "files_per_sec": round(rows / t8, 1)},
-        }
-    results = {str(k): v for k, v in best_levels.items()}
-    speedup = results[str(hi)]["files_per_sec"] / results[str(lo)]["files_per_sec"]
-    efficiency = speedup / (hi / lo)
+    history = prior.get("history", [])
+    if not history:
+        legacy = prior.get("all_round2_samples", prior.get("all_samples", []))
+        if legacy:
+            history.append({"run": "round2-legacy", "samples": legacy})
+        if prior.get("efficiency") is not None:
+            history.append(
+                {
+                    "run": "round2-headline",
+                    "samples": [
+                        {
+                            "pair": [
+                                prior["levels"][str(lo)]["sec"],
+                                prior["levels"][str(hi)]["sec"],
+                            ],
+                            "efficiency": prior["efficiency"],
+                        }
+                    ],
+                }
+            )
+    history.append({"run": f"round3+{len(history)}", "samples": pair_records})
+    all_pairs = [s for run in history for s in run["samples"] if "pair" in s]
+    best_hist = max(all_pairs, key=lambda s: s["efficiency"]) if all_pairs else None
+
     summary = {
         "metric": "scaling_efficiency",
-        "levels": results,
+        "levels": {str(k): v for k, v in results.items()},
         "speedup": round(speedup, 3),
-        "efficiency": round(efficiency, 3),
+        "efficiency": efficiency,
         "target": 0.8,
         "passed": efficiency >= 0.8,
-        "methodology": "best same-run pair across runs; min-of-3-after-warmup per level",
-        "round1_reference_pair": prior.get(
-            "round1_reference_pair",
-            {"2": 91.859, "8": 27.566, "efficiency": 0.833},
+        "window_quiet": window_quiet,
+        "quiet_pairs": len(quiet),
+        "total_pairs": len(pair_records),
+        "external_load_threshold": EXTERNAL_LOAD_THRESHOLD,
+        "methodology": (
+            "interleaved level pairs in one invocation; per-sample external load = "
+            "(/proc/stat busy - own child CPU)/wall; headline = min-over-quiet-pairs "
+            "of THIS run only (min-of-REPEATS-after-warmup inside each sample)"
         ),
-        "all_round2_samples": samples,
+        "this_run_pairs": pair_records,
+        "best_historical": best_hist,
+        "history": history,
     }
     with open(path, "w") as fh:
         json.dump(summary, fh, indent=2)
-    results = {lo: results[str(lo)], hi: results[str(hi)]}
 
+    quiet_note = (
+        f"{len(quiet)}/{len(pair_records)} pairs quiet (external load < "
+        f"{EXTERNAL_LOAD_THRESHOLD} cores); headline from quiet pairs only"
+        if window_quiet
+        else f"NO quiet pair this run (external load ≥ {EXTERNAL_LOAD_THRESHOLD} cores "
+        "throughout) — headline from all pairs, treat as load-bound lower bound"
+    )
     md = f"""# BENCH/BASELINE — established baseline (BASELINE.json metric)
 
 ## Quality/correctness (pytest-gated; see tests/)
@@ -189,22 +319,21 @@ def main() -> None:
 ## Throughput scaling (N vs 4N parallelism — local[{lo}] vs local[{hi}] on one 32-core host)
 
 Full pipeline hot path (salted bucketing → native rules → vectorized
-langid/perplexity UDFs → regex scrub → materialize), {results[lo]['rows']} files, warm JVM.
+langid/perplexity UDFs → regex scrub → materialize), {rows} files, warm JVM.
 
 | level | sec | files/sec |
 |---|---|---|
 | local[{lo}] (N) | {results[lo]['sec']} | {results[lo]['files_per_sec']} |
 | local[{hi}] (4N) | {results[hi]['sec']} | {results[hi]['files_per_sec']} |
 
-**speedup {lo}→{hi}: {speedup:.2f}× · scaling efficiency: {efficiency:.3f} (target ≥ 0.8) → {"PASS" if efficiency >= 0.8 else "BELOW TARGET this round"}**
+**speedup {lo}→{hi}: {speedup:.2f}× · scaling efficiency: {efficiency:.3f} (target ≥ 0.8) → {"PASS" if efficiency >= 0.8 else "BELOW TARGET this run"}**
 
-Best same-run pair across {sum(1 for s in samples if "pair" in s)} full runs (all samples in
-scaling.json). Round 1 measured **0.833 (PASS)** on the identical kernel
-code in a quieter host window — the sample history and the component
-breakdown in the notes below attribute the gap to neighbor load on the
-shared VM, not to a software change.
+This headline is computed from THE CURRENT RUN ONLY ({quiet_note}).
+Per-pair samples with their measured neighbor load are in
+`scaling.json: this_run_pairs`; the best pair ever recorded across all
+runs is kept separately as `best_historical` (capability, not the gate).
 
-Reproduce: `python BENCH/scaling.py` (merges into the sample history)
+Reproduce: `python BENCH/scaling.py` (appends to the run history)
 """
     notes = os.path.join(REPO, "BENCH", "NOTES.md")
     if os.path.exists(notes):
@@ -212,7 +341,7 @@ Reproduce: `python BENCH/scaling.py` (merges into the sample history)
             md += "\n" + fh.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
-    print(json.dumps(summary))
+    print(json.dumps({k: v for k, v in summary.items() if k != "history"}))
 
 
 if __name__ == "__main__":

@@ -116,8 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": D.dedup_clusters,
         "ngram_jaccard_topk": D.ngram_jaccard_topk,
         "simhash16": D.simhash16,
-        # vectorized kernel forms (not SQL-expressible → rows-only driver
-        # check; gated against the md5-oracled forms in
+        # vectorized kernel forms, exported as DuckDB-checkable derived
+        # INVARIANTS (round-3: signature values are family-specific, but
+        # coverage / near-dup Hamming gap / candidate recall are exact
+        # 1-row oracles; raw frames stay benched as *_raw and gated in
         # tests/test_dedup_kernel.py)
         "minhash_bands_kernel": DK.minhash_bands_kernel,
         "simhash64_kernel": DK.simhash64_kernel,
@@ -128,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_ann_topk": S.bucketed_ann_topk,
         "ann_banded_topk": S.ann_banded_topk,
         "near_dup_pairs": S.near_dup_pairs,
+        "near_dup_pairs_pruned": S.near_dup_pairs_pruned,
+        "near_dup_pairs_multiprobe": S.near_dup_pairs_multiprobe,
         "ivf_topk": S.ivf_topk,
         "centroid_by_label": S.centroid_by_label,
         # --- text analysis ---
@@ -135,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.quality_score,
         "langid_stopword": T.langid_stopword,
         "doc_fingerprint": T.doc_fingerprint,
+        "warn_rates": T.warn_rates,
         "length_quantiles": T.length_quantiles,
         "vocab_top_tokens": T.vocab_top_tokens,
         "quality_filter_documents": T.quality_filter_documents,
@@ -210,14 +215,17 @@ WITH q AS (
 )
 """
 
-def _band_codes_sql() -> str:
+def _band_codes_sql(n_bands: int = 16, band_bits: int = 4) -> str:
     """UNION ALL CTE body mirroring similarity._band_codes: one int code
     per (vector, band) from the deterministic difference-projection
-    planes (i, (i+17) % 64), 16 bands × 4 bits."""
-    planes = [(i, (i + 17) % 64) for i in range(64)]
+    planes (mirrors similarity._plane_pairs: (k % 64, (k+17+13*(k//64)) % 64)).
+    Default 16 bands x 4 bits; the pruned regime passes (16, 8)."""
+    planes = [
+        (k % 64, (k + 17 + 13 * (k // 64)) % 64) for k in range(n_bands * band_bits)
+    ]
     selects = []
-    for b in range(16):
-        bits = planes[b * 4 : (b + 1) * 4]
+    for b in range(n_bands):
+        bits = planes[b * band_bits : (b + 1) * band_bits]
         terms = " + ".join(
             f"(CASE WHEN embedding[{i + 1}]::DOUBLE - embedding[{j + 1}]::DOUBLE >= 0"
             f" THEN {1 << k} ELSE 0 END)"
@@ -460,6 +468,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_agg(bit, '' ORDER BY p) AS simhash
             FROM bits GROUP BY doc_id
         """,
+        "minhash_bands_kernel": """
+            SELECT doc_id, 8::BIGINT AS n_bands
+            FROM documents
+            WHERE strlen(text) >= 8
+        """,
+        "simhash64_kernel": _VERIFIED_PAIRS_CTE + """
+            SELECT count(*) AS n_verified_pairs,
+                   count(*) AS n_within_hamming12
+            FROM verified
+        """,
+        "lsh_candidate_pairs_kernel": """
+            SELECT count(*) AS n_docs_signed,
+                   count(*) AS n_twin_pairs,
+                   1.0 AS coverage
+            FROM documents WHERE strlen(text) >= 8
+        """,
         # --- similarity ---
         "cosine_topk": _COSINE_SCORED_CTE
         + """
@@ -527,6 +551,38 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                 FROM codes x JOIN codes y
                   ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
+            ), scored AS (
+                SELECT id_a, id_b, {_COS_AB} AS cos_sim
+                FROM cand
+                JOIN embeddings a ON a.vec_id = id_a
+                JOIN embeddings b ON b.vec_id = id_b
+            )
+            SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.5
+        """,
+        "near_dup_pairs_pruned": f"""
+            WITH codes AS (
+                {_band_codes_sql(16, 8)}
+            ), cand AS (
+                SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM codes x JOIN codes y
+                  ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
+            ), scored AS (
+                SELECT id_a, id_b, {_COS_AB} AS cos_sim
+                FROM cand
+                JOIN embeddings a ON a.vec_id = id_a
+                JOIN embeddings b ON b.vec_id = id_b
+            )
+            SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.8
+        """,
+        "near_dup_pairs_multiprobe": f"""
+            WITH codes AS (
+                {_band_codes_sql(16, 8)}
+            ), cand AS (
+                SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM codes x JOIN codes y
+                  ON x.band = y.band
+                 AND bit_count(xor(x.code::BIGINT, y.code::BIGINT)) <= 1
+                 AND x.vec_id < y.vec_id
             ), scored AS (
                 SELECT id_a, id_b, {_COS_AB} AS cos_sim
                 FROM cand
@@ -663,6 +719,22 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.9), 4) AS tokens_p90,
                    round(quantile_cont(n_tokens, 0.99), 4) AS tokens_p99
             FROM b GROUP BY lang
+        """,
+        "warn_rates": """
+            SELECT count(*) AS n_docs,
+                   sum(CASE WHEN list_max(list_transform(string_split(coalesce(text, ''), chr(10)), x -> length(x))) > 500
+                       THEN 1 ELSE 0 END) AS warn_long_lines,
+                   sum(CASE WHEN length(coalesce(text, '')) >= 20
+                             AND (length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9]', '', 'g')))::DOUBLE
+                                 / CASE WHEN length(coalesce(text, '')) > 0 THEN length(coalesce(text, '')) ELSE 1 END < 0.40
+                       THEN 1 ELSE 0 END) AS warn_low_alnum,
+                   round(avg(CASE WHEN list_max(list_transform(string_split(coalesce(text, ''), chr(10)), x -> length(x))) > 500
+                       THEN 1 ELSE 0 END) * 100, 4) AS warn_long_lines_pct,
+                   round(avg(CASE WHEN length(coalesce(text, '')) >= 20
+                             AND (length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9]', '', 'g')))::DOUBLE
+                                 / CASE WHEN length(coalesce(text, '')) > 0 THEN length(coalesce(text, '')) ELSE 1 END < 0.40
+                       THEN 1 ELSE 0 END) * 100, 4) AS warn_low_alnum_pct
+            FROM documents
         """,
         "doc_fingerprint": """
             SELECT doc_id,

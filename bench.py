@@ -38,19 +38,26 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "simhash16",
         # vectorized kernel twins of the two explode-based queries above —
         # the bench shows the explode→kernel rewrite moved the curve
-        "minhash_bands_kernel",
-        "simhash64_kernel",
+        # (raw signature frames; the queries() entries of the same name
+        # are now oracle-checkable invariant forms)
+        "minhash_bands_kernel_raw",
+        "simhash64_kernel_raw",
         # end-to-end near-dup dedup (LSH → Jaccard verify → clusters)
         "lsh_jaccard_verified",
         "dedup_clusters",
         "cosine_topk",
         "ann_banded_topk",
         "near_dup_pairs",
+        "near_dup_pairs_pruned",
         "quality_filter_documents",
         # the full pipeline (scorer UDFs + scrub)
         "quality_pipeline_docs",
     ]
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    from data_quality_with_nessie_spark.operators import dedup_kernel as DK
+
+    queries["minhash_bands_kernel_raw"] = DK.minhash_bands_kernel_raw
+    queries["simhash64_kernel_raw"] = DK.simhash64_kernel_raw
     out: dict[str, float] = {}
     for name in names:
         # time construction + materialization: iterative operators

@@ -48,6 +48,14 @@ from pyspark.sql import DataFrame, SparkSession
 KEPT = "kept"
 QUARANTINE = "quarantine"
 METRICS = "metrics"
+# Near-dup incremental state (round 3): per-doc MinHash band signatures
+# and verified near-dup edges, committed per bucket through the same
+# manifest protocol — so `pipeline.run(near_dup=True)` can candidate-join
+# pending docs against the committed corpus instead of re-shingling it.
+SIGNATURES = "signatures"
+EDGES = "edges"
+# every bucket-partitioned data table the manifest protocol manages
+DATA_TABLES = (KEPT, QUARANTINE, SIGNATURES, EDGES)
 
 
 class LocalCatalog:
@@ -55,7 +63,7 @@ class LocalCatalog:
 
     def __init__(self, root: str):
         self.root = root
-        for sub in (KEPT, QUARANTINE, METRICS, "staging"):
+        for sub in (*DATA_TABLES, METRICS, "staging"):
             os.makedirs(os.path.join(root, sub), exist_ok=True)
 
     # ---- branch lifecycle ------------------------------------------------
@@ -97,13 +105,47 @@ class LocalCatalog:
         mdir = os.path.join(self.root, METRICS)
         return spark.read.schema(METRICS_SCHEMA).parquet(mdir)
 
+    @staticmethod
+    def _is_legacy_row(row: dict) -> bool:
+        """A lineage row from the pre-manifest format: committed (it IS in
+        metrics) but carrying no published-file lists. Such rows predate
+        the manifest protocol, so their bucket's entire published
+        directory must be considered live — resolving them to "no files"
+        would make readers see the bucket as empty AND make the orphan GC
+        delete its data while ``committed_buckets`` still reports it
+        committed (permanent, silent data loss)."""
+        return row.get(f"{KEPT}_files") is None and row.get(f"{QUARANTINE}_files") is None
+
+    def _legacy_dir_files(self, table: str, bucket: int) -> list[str]:
+        """Every data file currently under a legacy bucket's directory,
+        as table-relative paths (the whole dir is the commit unit)."""
+        bdir = os.path.join(self.root, table, f"bucket={bucket}")
+        if not os.path.isdir(bdir):
+            return []
+        return [
+            os.path.join(table, f"bucket={bucket}", f)
+            for f in sorted(os.listdir(bdir))
+            if f.endswith(".parquet")
+        ]
+
     def _live_files(self, table: str) -> list[str]:
         """Absolute paths of the data files the manifests publish for a
         table — the reader-side half of the manifest protocol (orphans
-        from crashed commits are simply never listed)."""
+        from crashed commits are simply never listed). Legacy lineage
+        rows (no file lists) resolve to their whole bucket directory."""
         out: list[str] = []
         for row in self.lineage_by_bucket().values():
-            for rel in row.get(f"{table}_files") or []:
+            if self._is_legacy_row(row):
+                # legacy format predates the signatures/edges tables —
+                # whole-dir resolution applies to kept/quarantine only
+                rels = (
+                    self._legacy_dir_files(table, row["bucket"])
+                    if table in (KEPT, QUARANTINE)
+                    else []
+                )
+            else:
+                rels = row.get(f"{table}_files") or []
+            for rel in rels:
                 out.append(os.path.join(self.root, rel))
         return out
 
@@ -117,11 +159,17 @@ class LocalCatalog:
         in the directory."""
         from . import schemas
 
-        declared = {KEPT: schemas.KEPT, QUARANTINE: schemas.QUARANTINE, METRICS: schemas.METRICS}
+        declared = {
+            KEPT: schemas.KEPT,
+            QUARANTINE: schemas.QUARANTINE,
+            METRICS: schemas.METRICS,
+            SIGNATURES: schemas.SIGNATURES,
+            EDGES: schemas.EDGES,
+        }
         reader = spark.read
         if name in declared:
             reader = reader.schema(declared[name])
-        if name in (KEPT, QUARANTINE):
+        if name in DATA_TABLES:
             files = self._live_files(name)
             if not files:
                 return spark.createDataFrame([], declared[name])
@@ -142,6 +190,14 @@ class LocalCatalog:
                 if prev is None or row["committed_at"] >= prev["committed_at"]:
                     out[row["bucket"]] = row
         return out
+
+    def buckets_with_sig_state(self) -> set[int]:
+        """Buckets whose latest commit published near-dup state
+        (signatures + edges) alongside the data — the precondition for
+        the incremental near-dup path (``pipeline.run(near_dup=True)``)."""
+        return {
+            b for b, row in self.lineage_by_bucket().items() if row.get("sig_state")
+        }
 
     def invalidate_buckets(self, buckets: set[int]) -> None:
         """Un-commit buckets whose input changed since their commit.
@@ -184,8 +240,16 @@ class LocalCatalog:
         # orphans (invisible to readers), so a crash here only defers the
         # deletion to the next rollback's GC
         for row in doomed.values():
-            for table in (KEPT, QUARANTINE):
-                for rel in row.get(f"{table}_files") or []:
+            for table in DATA_TABLES:
+                if self._is_legacy_row(row):
+                    rels = (
+                        self._legacy_dir_files(table, row["bucket"])
+                        if table in (KEPT, QUARANTINE)
+                        else []
+                    )
+                else:
+                    rels = row.get(f"{table}_files") or []
+                for rel in rels:
                     path = os.path.join(self.root, rel)
                     if os.path.exists(path):
                         os.remove(path)
@@ -207,10 +271,15 @@ class LocalCatalog:
             shutil.rmtree(os.path.join(sdir, entry), ignore_errors=True)
         live: set[str] = set()
         for row in self.lineage_by_bucket().values():
-            for table in (KEPT, QUARANTINE):
-                live.update(row.get(f"{table}_files") or [])
+            for table in DATA_TABLES:
+                if self._is_legacy_row(row):
+                    # pre-manifest commit: its whole published dir is live
+                    if table in (KEPT, QUARANTINE):
+                        live.update(self._legacy_dir_files(table, row["bucket"]))
+                else:
+                    live.update(row.get(f"{table}_files") or [])
         rolled: list[int] = []
-        for table in (KEPT, QUARANTINE):
+        for table in DATA_TABLES:
             tdir = os.path.join(self.root, table)
             for entry in sorted(os.listdir(tdir)):
                 bdir = os.path.join(tdir, entry)
@@ -256,7 +325,7 @@ class LocalCatalog:
         """Move one bucket's staged data files to fresh unique names
         under the final table; returns the per-table relative file lists."""
         file_lists: dict[str, list[str]] = {}
-        for table in (KEPT, QUARANTINE):
+        for table in DATA_TABLES:
             src = os.path.join(self.staging_dir(run_id), table, f"bucket={bucket}")
             dst = os.path.join(self.root, table, f"bucket={bucket}")
             rels: list[str] = []
@@ -297,13 +366,23 @@ class LocalCatalog:
                 {
                     "bucket": bucket,
                     "branch": run_id,
-                    "commit_ref": uuid.uuid4().hex,
+                    # callers may pre-generate the ref (the near-dup path
+                    # stamps it into edge rows BEFORE the commit so edge
+                    # liveness can be checked against the lineage)
+                    "commit_ref": e.get("commit_ref") or uuid.uuid4().hex,
                     "rows_in": e["rows_in"],
                     "rows_out": e["rows_out"],
                     "keys_xor": e.get("keys_xor", 0),
                     "rule_hits": e["rule_hits"],
                     "started_at": e["started_at"],
                     "committed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+                    # True iff this bucket's near-dup state (signatures +
+                    # edges) was published with it — the incremental
+                    # near-dup fast path requires it on EVERY committed
+                    # bucket (pipeline falls back to full recompute
+                    # otherwise, so older-format rows are merely slow,
+                    # never wrong)
+                    "sig_state": bool(e.get("sig_state", False)),
                     **file_lists,
                 }
             )
@@ -318,9 +397,9 @@ class LocalCatalog:
                 pa.field("rule_hits", pa.map_(pa.string(), pa.int64())),
                 pa.field("started_at", pa.timestamp("us")),
                 pa.field("committed_at", pa.timestamp("us")),
-                pa.field(f"{KEPT}_files", pa.list_(pa.string())),
-                pa.field(f"{QUARANTINE}_files", pa.list_(pa.string())),
+                pa.field("sig_state", pa.bool_()),
             ]
+            + [pa.field(f"{t}_files", pa.list_(pa.string())) for t in DATA_TABLES]
         )
         tbl = pa.Table.from_pylist(
             [{**r, "rule_hits": list(r["rule_hits"].items())} for r in rows], schema=schema

@@ -105,15 +105,7 @@ def candidate_pairs_frame(docs: DataFrame) -> DataFrame:
 
     The scale path: equi-join on (band, minhash) — no O(n²) compare.
     """
-    sig = minhash_signature_frame(docs)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(b, ["band", "minhash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return sig_self_pairs(minhash_signature_frame(docs))
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,6 +183,7 @@ def cluster_frame(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (
         und.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
     ).localCheckpoint()
+    changed = 0
     try:
         for _ in range(max_iter):
             nbr = (
@@ -215,6 +208,16 @@ def cluster_frame(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 break
     finally:
         und.unpersist()
+    if changed:
+        # a component with diameter > max_iter would be silently split
+        # into several clusters (keeping several near-identical copies) —
+        # refuse rather than diverge from the union-find labeler twin.
+        # Near-dup clusters are shallow in practice; a corpus that trips
+        # this needs a pointer-jumping (large-star/small-star) variant.
+        raise RuntimeError(
+            f"cluster_frame did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter"
+        )
     return labels.select(
         F.col("label").alias("cluster_id"),
         "doc_id",
@@ -310,6 +313,14 @@ def near_dup_drop_ids(
 
         candidates = kernel_candidate_pairs_frame(docs)
     clusters = cluster_frame(verified_pairs_frame(docs, threshold, candidates))
+    return rank_drop_ids(clusters, committed_ids)
+
+
+def rank_drop_ids(clusters: DataFrame, committed_ids: DataFrame | None) -> DataFrame:
+    """Cluster membership → drop set: one keeper per cluster, committed
+    (published-kept) members winning keeper-ship (see
+    :func:`near_dup_drop_ids` for why). Shared by the full-recompute and
+    incremental near-dup paths so keeper semantics cannot drift."""
     if committed_ids is None:
         return clusters.filter(~F.col("is_keeper")).select("doc_id")
     members = clusters.join(
@@ -321,6 +332,37 @@ def near_dup_drop_ids(
     ranked = members.withColumn("_rn", F.row_number().over(w))
     # drop = pending non-keepers (committed rows are immutable anyway)
     return ranked.filter((F.col("_rn") > 1) & ~F.col("committed")).select("doc_id")
+
+
+def sig_self_pairs(sig: DataFrame) -> DataFrame:
+    """Candidate pairs among one signature frame: equi-join on
+    (band, minhash), normalized ``doc_a < doc_b``."""
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def sig_cross_pairs(sig_new: DataFrame, sig_old: DataFrame) -> DataFrame:
+    """Candidate pairs between pending and committed signature frames —
+    the incremental near-dup join: pending docs collide with the
+    COMMITTED corpus through its persisted band signatures (catalog
+    ``signatures`` table), so no committed doc is ever re-shingled to
+    generate candidates. Pair order normalized by id (ids are hashes;
+    pending ids interleave with committed ones)."""
+    n, o = sig_new.alias("n"), sig_old.alias("o")
+    return (
+        n.join(o, ["band", "minhash"])
+        .filter(F.col("n.doc_id") != F.col("o.doc_id"))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2,15 +2,20 @@
 
 Image/audio/video assets ride as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The decode step itself is STUBBED
-(this environment ships no image/audio codecs — see ``_decode_stub``),
-but everything Spark-side is real and tested: schema, partitioning,
-batch shape, and the deterministic fake decoder that stands in for a
-PIL/ffmpeg call at exactly the same call site.
+Arrow-batched ``mapInPandas`` stages.
+
+Decode status (round 3): PNG and WAV are REAL — pure-stdlib header
+parses (:func:`parse_png_dims` reads IHDR width/height,
+:func:`parse_wav_duration_ms` reads the fmt-chunk byte rate + data-chunk
+size), run through :func:`decode_headers`. Pixel/sample decoding and
+every other format stay STUBBED (this environment ships no image/audio
+codecs — see ``_decode_stub``); the Spark plumbing — schema,
+partitioning, batch shape — is identical either way.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -71,8 +76,77 @@ def _decode_stub(payload: bytes | None, kind: str) -> list[float]:
     raise NotImplementedError("real decode path requires image/audio codecs")
 
 
+# ---- real (pure-stdlib) header parsers ------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_dims(payload: bytes | None) -> tuple[int, int] | None:
+    """(width, height) from a PNG IHDR chunk — signature + first chunk
+    must be IHDR per the PNG spec, so a 24-byte header read suffices."""
+    if payload is None or len(payload) < 24 or payload[:8] != _PNG_SIG:
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return int(w), int(h)
+
+
+def parse_wav_duration_ms(payload: bytes | None) -> int | None:
+    """Duration in ms from a RIFF/WAVE header: walk the chunk list, read
+    the fmt chunk's byte rate and the data chunk's DECLARED size (the
+    payload may be truncated — headers are what object stores hand back
+    on a ranged read)."""
+    if (
+        payload is None
+        or len(payload) < 28
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos = 12
+    byte_rate = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 20 <= len(payload):
+            byte_rate = int.from_bytes(payload[pos + 16 : pos + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not byte_rate or data_size is None:
+        return None
+    return int(round(data_size * 1000 / byte_rate))
+
+
+def png_bytes(width: int, height: int, trailer: bytes = b"") -> bytes:
+    """Minimal valid PNG header (signature + IHDR) for fixtures."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
+    return _PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4 + trailer
+
+
+def wav_bytes(duration_ms: int, byte_rate: int = 16000, trailer: bytes = b"") -> bytes:
+    """Minimal valid RIFF/WAVE header encoding the given duration."""
+    data_size = byte_rate * duration_ms // 1000
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + (byte_rate // 2).to_bytes(4, "little")  # sample rate (16-bit)
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    data = b"data" + data_size.to_bytes(4, "little")
+    riff_size = 4 + len(fmt) + len(data) + len(trailer)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data + trailer
+
+
 def synth_assets(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic binary-asset fixture (no external data)."""
+    """Deterministic binary-asset fixture (no external data). PNG and
+    WAV payloads carry VALID headers encoding their meta (so the real
+    header parsers are exercised); video payloads are opaque bytes."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -81,17 +155,76 @@ def synth_assets(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame
     for i in range(n):
         kind = kinds[i % 3]
         size = int(rng.integers(256, 4096))
-        payload = bytes(rng.integers(0, 256, size, dtype=np.uint8))
+        junk = bytes(rng.integers(0, 256, size, dtype=np.uint8))
+        width = int(rng.integers(16, 512))
+        height = int(rng.integers(16, 512))
+        duration = int(rng.integers(0, 60000))
+        if kind == "image":
+            payload = png_bytes(width, height, junk)
+        elif kind == "audio":
+            payload = wav_bytes(duration, trailer=junk[:64])
+        else:
+            payload = junk
         rows.append(
             (
                 i,
                 kind,
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
                 payload,
-                (int(rng.integers(16, 512)), int(rng.integers(16, 512)), int(rng.integers(0, 60000))),
+                (width, height, duration),
             )
         )
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+
+
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("header_parsed", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_headers(assets: DataFrame) -> DataFrame:
+    """REAL metadata decode for PNG/WAV payloads (pure-stdlib header
+    parses); other mimes report ``header_parsed=false`` (their pixel/
+    sample decode remains the honest stub in :func:`_decode_stub`).
+    Same mapInPandas plumbing as :func:`extract_features`."""
+    shuffle = int(assets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "asset_id": pdf["asset_id"],
+                "mime": pdf["mime"],
+                "width": [],
+                "height": [],
+                "duration_ms": [],
+                "header_parsed": [],
+            }
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                w = h = d = None
+                if mime == "image/png":
+                    dims = parse_png_dims(payload)
+                    if dims:
+                        w, h = dims
+                elif mime == "audio/wav":
+                    d = parse_wav_duration_ms(payload)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(d)
+                out["header_parsed"].append(w is not None or d is not None)
+            yield pd.DataFrame(out)
+
+    return (
+        assets.repartition(shuffle, "asset_id")
+        .select("asset_id", "mime", "payload")
+        .mapInPandas(_batches, HEADER_SCHEMA)
+    )
 
 
 def extract_features(assets: DataFrame, batch_rows: int = 512) -> DataFrame:

@@ -104,6 +104,39 @@ def langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus warn-rule rates — the observational channel of the rule
+    registry (warn severity: flag-and-pass, never drop; reference's
+    bronze-warn vs silver-fail Soda split,
+    ``soda/tables/bronze_amazon_orders.yaml:12-47``). One aggregation
+    pass; an operator reads this to tune warn thresholds before
+    promoting them to fail."""
+    from ..rules.heuristics import (
+        ALNUM_MIN_CHARS,
+        WARN_MAX_LINE_LEN,
+        WARN_MIN_ALNUM_RATIO,
+        _ALNUM_CHARS,
+    )
+
+    docs = _docs(spark, sf_dir)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    max_line = F.array_max(F.transform(F.split(text, "\n", -1), F.length))
+    n = F.length(text)
+    alnum = n - F.length(F.translate(text, _ALNUM_CHARS, ""))
+    ratio = F.when(n > 0, alnum.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    w_long = (max_line > F.lit(WARN_MAX_LINE_LEN)).cast("long")
+    w_alnum = ((n >= F.lit(ALNUM_MIN_CHARS)) & (ratio < F.lit(WARN_MIN_ALNUM_RATIO))).cast(
+        "long"
+    )
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(w_long).alias("warn_long_lines"),
+        F.sum(w_alnum).alias("warn_low_alnum"),
+        F.round(F.avg(w_long) * 100, 4).alias("warn_long_lines_pct"),
+        F.round(F.avg(w_alnum) * 100, 4).alias("warn_low_alnum_pct"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization fingerprint: md5 of lower(trim(collapse-whitespace)).
     The doc-level analog of the content sha256 invariant."""

@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 from . import skew
 from .catalog import KEPT, QUARANTINE, LocalCatalog
 from .functions.columns import doc_key_id
-from .rules.registry import RULE_NAMES, RULES, reasons_column
+from .rules.registry import RULE_NAMES, RULES, WARN_RULE_NAMES, reasons_column
 from .schemas import SOURCE_FILES
 
 INPUT_COLS = [f.name for f in SOURCE_FILES.fields]
@@ -112,11 +112,21 @@ def classify(
     native = [
         F.coalesce(rule.spark(scored), F.lit(False)).alias(f"rule_{rule.name}")
         for rule in RULES
-        if not rule.is_udf
+        if not rule.is_udf and rule.severity == "fail"
+    ]
+    # warn rules ride the SAME single select (native exprs only): they
+    # never drop, never enter rejection_reasons — they only produce
+    # ``warn_<name>`` flags that the lineage agg counts (bronze-warn vs
+    # silver-fail, reference ``bronze_amazon_orders.yaml:12-47``)
+    warns = [
+        F.coalesce(rule.spark(scored), F.lit(False)).alias(f"warn_{rule.name}")
+        for rule in RULES
+        if rule.severity == "warn"
     ]
     flagged = scored.select(
         *[c for c in scored.columns if c not in ("langid_reject", "perplexity_reject")],
         *native,
+        *warns,
         F.coalesce(F.col("langid_reject"), F.lit(False)).alias("rule_langid"),
         F.coalesce(F.col("perplexity_reject"), F.lit(False)).alias("rule_perplexity"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
@@ -143,6 +153,181 @@ def classify(
     )
 
 
+def _near_dup_pre_pass(
+    spark: SparkSession,
+    catalog: LocalCatalog,
+    run_id: str,
+    docs: DataFrame,
+    committed: set[int],
+    kept_ids: DataFrame | None,
+    incremental: bool,
+    threshold: float,
+) -> DataFrame:
+    """Corpus-level near-dup pre-pass, state-persisting. Returns the drop
+    set (one ``doc_id`` column); side effect: stages this run's per-doc
+    MinHash band signatures and verified near-dup edges under the run's
+    staging dir, to be committed per bucket with the data.
+
+    ``incremental=True`` (requires every committed bucket to carry
+    ``sig_state``): ``docs`` is the PENDING rows only. Candidates =
+    pending×pending (signature self-join) ∪ pending×committed (join
+    against the catalog's ``signatures`` table) — the committed corpus is
+    never re-shingled to generate candidates; only committed docs that
+    actually collide with a pending doc are re-read (bucket-pruned +
+    id-semi-joined) for the exact-Jaccard verification. Prior verified
+    edges come from the ``edges`` table, liveness-filtered on both
+    endpoints' (bucket, commit_ref) against the current lineage, and the
+    union of old+new edges is clustered — identical component structure,
+    hence identical keeper decisions, to a full recompute (pinned
+    byte-identical by tests/test_near_dup_pipeline.py).
+
+    ``incremental=False``: ``docs`` is the full corpus (first run, or
+    fallback when some committed bucket predates signature state — such
+    buckets stay on the slow path until invalidated/recommitted).
+    """
+    from .catalog import EDGES as EDGES_TBL
+    from .catalog import SIGNATURES as SIG_TBL
+    from .operators.dedup import (
+        cluster_frame,
+        minhash_signature_frame,
+        rank_drop_ids,
+        sig_cross_pairs,
+        sig_self_pairs,
+        verified_pairs_frame,
+    )
+    from .schemas import SIGNATURES as SIG_SCHEMA
+
+    stage = catalog.staging_dir(run_id)
+    sig_path = os.path.join(stage, SIG_TBL)
+
+    # 1. signatures of the docs in scope — staged-written ONCE; the file
+    #    feeds the candidate joins below AND the per-bucket state commit
+    #    (same staged-write pattern as the classified frame: one
+    #    materialization, column-pruned re-reads).
+    (
+        minhash_signature_frame(docs.select("doc_id", "text"))
+        .join(docs.select("doc_id", "bucket"), "doc_id")
+        .write.partitionBy("bucket")
+        .parquet(sig_path)
+    )
+    sig = spark.read.schema(SIG_SCHEMA).option("basePath", sig_path).parquet(sig_path)
+
+    # 2. candidate pairs (checkpointed: consumed by the id set, the
+    #    verify join, and — transitively — the edge staging)
+    cand = sig_self_pairs(sig)
+    prior_sigs = None
+    if incremental:
+        prior_sigs = catalog.read_table(spark, SIG_TBL)
+        cand = cand.unionByName(sig_cross_pairs(sig, prior_sigs)).distinct()
+    cand = cand.localCheckpoint()
+
+    # 3. exact-Jaccard verification needs text: pending docs, plus (in
+    #    incremental mode) ONLY the committed docs a candidate touches —
+    #    read back bucket-pruned then id-semi-joined, so the cost is
+    #    ∝ touched buckets, never the corpus.
+    docs_verify = docs.select("doc_id", "text")
+    if incremental:
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        old_buckets = prior_sigs.join(cand_ids, "doc_id", "left_semi").select(
+            "bucket"
+        ).distinct()
+        key_cols = ["repo", "path", "commit", "content", "bucket"]
+        old_docs = (
+            catalog.read_table(spark, KEPT)
+            .select(*key_cols)
+            .unionByName(catalog.read_table(spark, QUARANTINE).select(*key_cols))
+            .join(F.broadcast(old_buckets), "bucket", "left_semi")
+            .select(doc_key_id().alias("doc_id"), F.col("content").alias("text"))
+            .join(cand_ids, "doc_id", "left_semi")
+        )
+        docs_verify = docs_verify.unionByName(old_docs)
+    verified = verified_pairs_frame(
+        docs_verify, threshold, candidates=cand
+    ).localCheckpoint()
+
+    # 4. cluster old + new edges; prior edges pass only while BOTH
+    #    endpoints' (bucket, commit_ref) still match the lineage — an
+    #    invalidated endpoint regenerates its edges under a new ref, so
+    #    stale copies (possibly naming doc ids that no longer exist)
+    #    cannot ghost into the graph.
+    lineage_refs = [
+        (int(b), row["commit_ref"])
+        for b, row in catalog.lineage_by_bucket().items()
+        if b in committed
+    ]
+    edges = verified.select("doc_a", "doc_b")
+    if incremental and lineage_refs:
+        refs = spark.createDataFrame(lineage_refs, "bucket int, ref string")
+        prior_edges = (
+            catalog.read_table(spark, EDGES_TBL)
+            .join(
+                F.broadcast(
+                    refs.withColumnRenamed("bucket", "bucket_a").withColumnRenamed(
+                        "ref", "ref_a"
+                    )
+                ),
+                ["bucket_a", "ref_a"],
+                "left_semi",
+            )
+            .join(
+                F.broadcast(
+                    refs.withColumnRenamed("bucket", "bucket_b").withColumnRenamed(
+                        "ref", "ref_b"
+                    )
+                ),
+                ["bucket_b", "ref_b"],
+                "left_semi",
+            )
+        )
+        edges = edges.unionByName(prior_edges.select("doc_a", "doc_b")).distinct()
+    drop_ids = rank_drop_ids(cluster_frame(edges), kept_ids)
+
+    # 5. stage the NEW edges under their pending endpoint bucket(s),
+    #    each endpoint stamped with the commit ref it will be (pending:
+    #    "<run_id>:<bucket>", pre-agreed with the commit below) or
+    #    already is (committed: current lineage ref).
+    bmap = docs.select("doc_id", "bucket")
+    if lineage_refs:
+        lr = spark.createDataFrame(lineage_refs, "bucket int, ref string")
+        bmap = bmap.join(F.broadcast(lr), "bucket", "left")
+    else:
+        bmap = bmap.withColumn("ref", F.lit(None).cast("string"))
+    bmap = bmap.withColumn(
+        "ref", F.coalesce("ref", F.concat_ws(":", F.lit(run_id), F.col("bucket")))
+    )
+    if incremental and prior_sigs is not None and lineage_refs:
+        bmap = bmap.unionByName(
+            prior_sigs.select("doc_id", "bucket")
+            .distinct()
+            .join(F.broadcast(lr), "bucket")
+        )
+    ea = bmap.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bucket").alias("bucket_a"),
+        F.col("ref").alias("ref_a"),
+    )
+    eb = bmap.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("ref").alias("ref_b"),
+    )
+    ewb = verified.join(ea, "doc_a").join(eb, "doc_b")
+    cols = ["doc_a", "doc_b", "jaccard", "bucket_a", "ref_a", "bucket_b", "ref_b"]
+    staged_edges = (
+        ewb.select(*cols, F.col("bucket_a").alias("bucket"))
+        .unionByName(ewb.select(*cols, F.col("bucket_b").alias("bucket")))
+        .distinct()
+    )
+    if committed:
+        staged_edges = staged_edges.filter(~F.col("bucket").isin(sorted(committed)))
+    staged_edges.write.partitionBy("bucket").parquet(os.path.join(stage, EDGES_TBL))
+    return drop_ids
+
+
 def run(
     spark: SparkSession,
     source: DataFrame,
@@ -151,6 +336,7 @@ def run(
     bucket_offset: int = 0,
     verify_committed: bool = True,
     near_dup: bool = False,
+    near_dup_incremental: bool = True,
     staged_write: bool = True,
     commit_group_size: int = 1,
 ) -> dict:
@@ -173,8 +359,17 @@ def run(
 
     ``near_dup=True`` runs the corpus-level near-duplicate pre-pass
     (MinHash → LSH → Jaccard-verify → connected components, see
-    ``operators/dedup.py``) over the FULL source — clusters span
-    buckets — and quarantines non-keepers with a ``near_dup`` reason.
+    ``operators/dedup.py``) — clusters span buckets — and quarantines
+    non-keepers with a ``near_dup`` reason. When every committed bucket
+    carries published signature state (normal steady state:
+    near-dup runs commit it automatically), the pass is INCREMENTAL:
+    only pending rows are shingled/hashed; the committed corpus joins in
+    through the catalog's ``signatures``/``edges`` tables
+    (:func:`_near_dup_pre_pass`), so per-run cost is ∝ the increment,
+    not the corpus — the dominant 100 TB cost of round 2 removed.
+    ``near_dup_incremental=False`` forces the full recompute (the
+    equivalence of the two paths is pinned byte-identical in
+    tests/test_near_dup_pipeline.py).
 
     ``staged_write`` (default True): the classified frame is written
     ONCE as a combined staged table and the kept/quarantine splits plus
@@ -202,6 +397,7 @@ def run(
     pending = skew.with_bucket(source, n_buckets)
     if bucket_offset:
         pending = pending.withColumn("bucket", F.col("bucket") + F.lit(bucket_offset))
+    bucketed_all = pending  # pre-resume-filter view (near-dup full pass)
     # only buckets this source CAN produce are in scope for verification —
     # other epochs' buckets (streaming) legitimately have zero rows here.
     invalidated_kept_ids = None
@@ -244,8 +440,9 @@ def run(
 
     drop_ids = None
     rule_names = RULE_NAMES
+    near_dup_mode = None
     if near_dup:
-        from .operators.dedup import near_dup_drop_ids
+        from .operators.dedup import JACCARD_THRESHOLD
 
         # keeper preference: cluster members already PUBLISHED AS KEPT
         # win their cluster, so a re-ingested near-dup of a kept row is
@@ -267,7 +464,33 @@ def run(
                 if kept_ids is None
                 else kept_ids.unionByName(invalidated_kept_ids)
             )
-        drop_ids = near_dup_drop_ids(source, committed_ids=kept_ids)
+        # incremental fast path: every committed bucket must carry the
+        # published signature/edge state — then only PENDING rows are
+        # shingled and the committed corpus joins in via its signatures
+        # (the re-ingest NOT-IN semantics, ``ingest.py:70-83``, lifted
+        # to the near-dup pre-pass; VERDICT round-2 item 2).
+        incremental = bool(
+            committed
+            and near_dup_incremental
+            and committed <= catalog.buckets_with_sig_state()
+        )
+        near_dup_mode = "incremental" if incremental else "full"
+        scope = pending if incremental else bucketed_all
+        docs = scope.select(
+            doc_key_id().alias("doc_id"),
+            F.col("content").alias("text"),
+            "bucket",
+        )
+        drop_ids = _near_dup_pre_pass(
+            spark,
+            catalog,
+            run_id,
+            docs,
+            committed,
+            kept_ids,
+            incremental,
+            JACCARD_THRESHOLD,
+        )
         rule_names = RULE_NAMES + ("near_dup",)
     classified = classify(pending, n_buckets, bucketed=True, drop_ids=drop_ids)
 
@@ -314,6 +537,10 @@ def run(
                 F.sum(F.col(f"rule_{n}").cast("long")).alias(f"hits_{n}")
                 for n in rule_names
             ],
+            *[
+                F.sum(F.col(f"warn_{n}").cast("long")).alias(f"hits_warn_{n}")
+                for n in WARN_RULE_NAMES
+            ],
         ]
         stats = {r["bucket"]: r.asDict() for r in scored.groupBy("bucket").agg(*aggs).collect()}
     finally:
@@ -330,9 +557,20 @@ def run(
                     "bucket": b,
                     "rows_in": stats[b]["rows_in"],
                     "rows_out": stats[b]["rows_out"] or 0,
-                    "rule_hits": {n: int(stats[b][f"hits_{n}"] or 0) for n in rule_names},
+                    "rule_hits": {
+                        **{n: int(stats[b][f"hits_{n}"] or 0) for n in rule_names},
+                        **{
+                            f"warn_{n}": int(stats[b][f"hits_warn_{n}"] or 0)
+                            for n in WARN_RULE_NAMES
+                        },
+                    },
                     "started_at": started,
                     "keys_xor": int(stats[b]["keys_xor"] or 0),
+                    # pre-agreed ref (stamped into staged edge rows by the
+                    # near-dup pre-pass) + the state marker that unlocks
+                    # the incremental path for this bucket
+                    "commit_ref": f"{run_id}:{b}",
+                    "sig_state": near_dup,
                 }
                 for b in group
             ],
@@ -342,6 +580,7 @@ def run(
         "run_id": run_id,
         "buckets_processed": sorted(stats),
         "buckets_skipped": sorted(committed),
+        "near_dup_mode": near_dup_mode,
         "rows_in": int(sum(s["rows_in"] for s in stats.values())),
         "rows_out": int(sum((s["rows_out"] or 0) for s in stats.values())),
     }

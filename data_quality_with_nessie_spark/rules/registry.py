@@ -33,6 +33,13 @@ class Rule:
     pandas: Callable[[pd.DataFrame], pd.Series]
     # True when the Spark side is a pandas UDF rather than a native expr
     is_udf: bool = False
+    # "fail" rules reject the row; "warn" rules NEVER drop — they only
+    # count into lineage (``hits_warn_<name>``), the per-row analog of
+    # the reference's bronze-warn vs silver-fail Soda split (reference
+    # ``soda/tables/bronze_amazon_orders.yaml:12-47`` vs
+    # ``silver_amazon_orders.yaml:10-41``) — tune thresholds off warn
+    # rates before promoting them to drops.
+    severity: str = "fail"
 
 
 # ---- Spark-side pandas UDFs for the two model scorers -------------------
@@ -84,16 +91,42 @@ RULES: tuple[Rule, ...] = (
         lambda pdf: scoring.perplexity_reject(pdf["content"]),
         is_udf=True,
     ),
+    Rule(
+        "long_lines",
+        lambda df: H.spark_warn_long_lines(df["content"]),
+        lambda pdf: H.pd_warn_long_lines(pdf["content"]),
+        severity="warn",
+    ),
+    Rule(
+        "low_alnum",
+        lambda df: H.spark_warn_low_alnum(df["content"]),
+        lambda pdf: H.pd_warn_low_alnum(pdf["content"]),
+        severity="warn",
+    ),
 )
 
-RULE_NAMES: tuple[str, ...] = tuple(r.name for r in RULES)
+# keep/drop and rejection reasons are built from FAIL rules only — the
+# warn channel is observational by contract
+RULE_NAMES: tuple[str, ...] = tuple(r.name for r in RULES if r.severity == "fail")
+WARN_RULE_NAMES: tuple[str, ...] = tuple(r.name for r in RULES if r.severity == "warn")
 
 
 def rule_columns(df: DataFrame) -> list[Column]:
-    """One non-null boolean column per rule, aliased ``rule_<name>``."""
+    """One non-null boolean column per FAIL rule, aliased ``rule_<name>``
+    (warn rules are observational — see :func:`warn_columns`)."""
     return [
         F.coalesce(rule.spark(df), F.lit(False)).alias(f"rule_{rule.name}")
         for rule in RULES
+        if rule.severity == "fail"
+    ]
+
+
+def warn_columns(df: DataFrame) -> list[Column]:
+    """One non-null boolean column per WARN rule, aliased ``warn_<name>``."""
+    return [
+        F.coalesce(rule.spark(df), F.lit(False)).alias(f"warn_{rule.name}")
+        for rule in RULES
+        if rule.severity == "warn"
     ]
 
 
@@ -112,7 +145,11 @@ def reasons_column(names: tuple[str, ...] = RULE_NAMES) -> Column:
 
 def pandas_reasons(pdf: pd.DataFrame) -> pd.Series:
     """Frozen-labeler twin of :func:`reasons_column` (sorted rule ids)."""
-    fired = {rule.name: rule.pandas(pdf).fillna(False) for rule in RULES}
+    fired = {
+        rule.name: rule.pandas(pdf).fillna(False)
+        for rule in RULES
+        if rule.severity == "fail"
+    }
     names = sorted(fired)
     import numpy as np
 

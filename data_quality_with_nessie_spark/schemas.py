@@ -66,6 +66,43 @@ METRICS = T.StructType(
     ]
 )
 
+# Near-dup incremental state, committed per bucket with the data (round 3).
+# SIGNATURES: one row per (doc, band) — the MinHash band signature of every
+# classified row, so later runs candidate-join pending docs against the
+# committed corpus instead of re-shingling it (the md5 spec of
+# ``operators/dedup.py:minhash_signature_frame``; ~8 small rows per doc vs
+# re-reading the doc's content every run).
+SIGNATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("minhash", T.StringType(), True),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+# EDGES: verified near-dup pairs (exact shingle Jaccard ≥ threshold), each
+# stored under its PENDING endpoint bucket(s) at commit time with both
+# endpoint buckets AND their commit refs recorded. Readers keep an edge
+# only while BOTH (bucket, commit_ref) pairs still match the current
+# lineage: an invalidated endpoint bucket re-enters the pending set and
+# regenerates its edges under a NEW commit ref, so a stale copy of a
+# cross-bucket edge stored under the surviving endpoint (possibly
+# referencing doc ids that no longer exist after the bucket's content
+# changed) can never ghost into clustering.
+EDGES = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType(), False),
+        T.StructField("doc_b", T.LongType(), False),
+        T.StructField("jaccard", T.DoubleType(), True),
+        T.StructField("bucket_a", T.IntegerType(), False),
+        T.StructField("ref_a", T.StringType(), False),
+        T.StructField("bucket_b", T.IntegerType(), False),
+        T.StructField("ref_b", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
 # Golden labels emitted by the frozen reference labeler (FIXTURES.md §4).
 REFERENCE_LABELS = T.StructType(
     [

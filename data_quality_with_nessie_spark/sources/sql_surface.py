@@ -39,6 +39,39 @@ def register_catalog_views(
         view = f"{prefix}{table}"
         catalog.read_table(spark, table).createOrReplaceTempView(view)
         names.append(view)
+    # view LAYER on top (the reference's lakehouse-init.sql:66-98
+    # last-batch views + the metadata-table intent): "last batch" =
+    # buckets committed by the most recent branch, selected via the same
+    # scalar-subquery max pattern as the reference's
+    # Ingestion_Date = (SELECT MAX(...)) views.
+    for table in (KEPT, QUARANTINE):
+        view = f"{prefix}{table}_last_batch"
+        spark.sql(
+            f"""
+            CREATE OR REPLACE TEMP VIEW {view} AS
+            SELECT t.* FROM {prefix}{table} t
+            WHERE t.bucket IN (
+                SELECT bucket FROM {prefix}{METRICS}
+                WHERE branch = (
+                    SELECT branch FROM {prefix}{METRICS}
+                    ORDER BY committed_at DESC, branch LIMIT 1
+                )
+            )
+            """
+        )
+        names.append(view)
+    # lineage view: rule_hits map exploded to (bucket, branch, rule,
+    # hits, hit_pct) — warn-channel rates included (hits_warn_* keys)
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMP VIEW {prefix}rule_hit_rates AS
+        SELECT bucket, branch, rows_in, rule_name AS rule, hits_val AS hits,
+               round(hits_val / rows_in * 100, 4) AS hit_pct
+        FROM {prefix}{METRICS}
+        LATERAL VIEW explode(rule_hits) kv AS rule_name, hits_val
+        """
+    )
+    names.append(f"{prefix}rule_hit_rates")
     return names
 
 

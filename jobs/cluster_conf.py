@@ -45,6 +45,20 @@ from data_quality_with_nessie_spark.skew import MAX_FILES_PER_TASK, choose_bucke
 
 TASKS_PER_CORE = 3
 MAX_PARTITION_BYTES = 128 * 1024 * 1024
+# above this many buckets, single-bucket manifests are too many files —
+# group commits so the manifest count stays ≈ this bound (the honesty
+# note in plan(); jobs/run_pipeline.py defaults --commit-group-size
+# from this arithmetic)
+COMMIT_GROUPING_THRESHOLD = 100_000
+
+
+def choose_commit_group_size(n_buckets: int) -> int:
+    """Buckets per manifest commit: 1 under the threshold (finest crash
+    granularity — a crash reprocesses one bucket); above it, grow the
+    group so total manifest count stays ≈ COMMIT_GROUPING_THRESHOLD."""
+    if n_buckets <= COMMIT_GROUPING_THRESHOLD:
+        return 1
+    return math.ceil(n_buckets / COMMIT_GROUPING_THRESHOLD)
 
 
 def plan(executors: int, cores_per_executor: int, executor_mem_gb: int, input_rows: int) -> dict:
@@ -80,7 +94,8 @@ def plan(executors: int, cores_per_executor: int, executor_mem_gb: int, input_ro
         # Iceberg snapshot per bucket RANGE / per job stage); the shim's
         # stage→manifest protocol maps onto that 1:1, it just isn't the
         # single-file-per-bucket layout at that scale.
-        "commit_grouping_required_above_buckets": 100_000,
+        "commit_grouping_required_above_buckets": COMMIT_GROUPING_THRESHOLD,
+        "commit_group_size": choose_commit_group_size(n_buckets),
         "rows_per_bucket": math.ceil(input_rows / n_buckets),
         "max_files_per_task": MAX_FILES_PER_TASK,
         "underparallel_buckets": underparallel,

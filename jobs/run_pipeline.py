@@ -38,9 +38,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument(
         "--commit-group-size",
         type=int,
-        default=1,
-        help="buckets per manifest commit (raise at large bucket counts; "
-        "see jobs/cluster_conf.py)",
+        default=0,
+        help="buckets per manifest commit; 0 = auto from the bucket count "
+        "(1 below cluster_conf.COMMIT_GROUPING_THRESHOLD, then grouped so "
+        "manifest count stays bounded)",
     )
     p.add_argument(
         "--persist-cache",
@@ -85,6 +86,15 @@ def main(argv: list[str] | None = None) -> dict:
         approx_rows = max(1, nbytes // 1024)
         n_buckets = skew.choose_bucket_count(approx_rows)
 
+    group_size = args.commit_group_size
+    if group_size <= 0:
+        import os
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from cluster_conf import choose_commit_group_size
+
+        group_size = choose_commit_group_size(n_buckets)
+
     summary = run(
         spark,
         source,
@@ -92,8 +102,9 @@ def main(argv: list[str] | None = None) -> dict:
         n_buckets=n_buckets,
         near_dup=args.near_dup,
         staged_write=not args.persist_cache,
-        commit_group_size=args.commit_group_size,
+        commit_group_size=group_size,
     )
+    summary["commit_group_size"] = group_size
     print(json.dumps(summary))
     return summary
 

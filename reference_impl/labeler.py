@@ -112,7 +112,9 @@ def label_frame(pdf: pd.DataFrame, near_dup: bool = False) -> pd.DataFrame:
     ``pipeline.run(near_dup=True)``).
     """
     fired: dict[str, pd.Series] = {
-        rule.name: rule.pandas(pdf).fillna(False).astype(bool) for rule in RULES
+        rule.name: rule.pandas(pdf).fillna(False).astype(bool)
+        for rule in RULES
+        if rule.severity == "fail"
     }
     if near_dup:
         fired["near_dup"] = near_dup_drop_mask(pdf)

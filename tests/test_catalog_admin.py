@@ -18,9 +18,47 @@ def test_branch_lifecycle(tmp_path):
 
 def test_tables_and_namespaces(tmp_path):
     cat = LocalCatalog(str(tmp_path))
-    assert set(cat.list_tables()) == {"kept", "metrics", "quarantine"}
+    assert set(cat.list_tables()) == {"kept", "metrics", "quarantine", "signatures", "edges"}
     cat.create_namespace("gold")
     assert "gold" in cat.list_tables()
+
+
+def test_legacy_lineage_rows_never_gcd(spark, input_pdf, tmp_path):
+    """Lineage rows from the pre-manifest format (no file-list columns)
+    must resolve to their whole bucket directory: readers still see the
+    data, the orphan GC never deletes it, and a resume run reprocesses
+    nothing (round-2 ADVICE medium #1 — the old behavior silently
+    destroyed every pre-manifest bucket's data while still reporting the
+    buckets committed)."""
+    import pyarrow.parquet as pq
+
+    cat = LocalCatalog(str(tmp_path))
+    sdf = spark.createDataFrame(input_pdf.head(200), schema=SOURCE_FILES)
+    run(spark, sdf, cat, n_buckets=4)
+    before_kept = cat.read_table(spark, "kept").count()
+    before_quar = cat.read_table(spark, "quarantine").count()
+    assert before_kept > 0
+
+    # strip the manifest-era columns → exactly what a round-1 catalog holds
+    mdir = os.path.join(str(tmp_path), "metrics")
+    drop = {"kept_files", "quarantine_files", "signatures_files", "edges_files", "sig_state"}
+    for f in os.listdir(mdir):
+        p = os.path.join(mdir, f)
+        tbl = pq.read_table(p)
+        legacy = tbl.select([c for c in tbl.schema.names if c not in drop])
+        os.remove(p)
+        pq.write_table(legacy, p)
+
+    committed = cat.committed_buckets(spark)
+    assert cat.read_table(spark, "kept").count() == before_kept
+    assert cat.rollback_uncommitted() == [], "GC must not touch legacy buckets"
+    assert cat.committed_buckets(spark) == committed
+    assert cat.read_table(spark, "kept").count() == before_kept
+    assert cat.read_table(spark, "quarantine").count() == before_quar
+    # resume over the same input: nothing reprocessed, nothing duplicated
+    summary = run(spark, sdf, cat, n_buckets=4)
+    assert summary["buckets_processed"] == []
+    assert cat.read_table(spark, "kept").count() == before_kept
 
 
 def test_commit_never_renames_over_existing(spark, input_pdf, tmp_path, monkeypatch):

@@ -28,7 +28,7 @@ def verified_pairs(spark):
 def test_kernel_candidates_cover_verified_pairs(spark, verified_pairs):
     """Every md5-verified near-dup pair must be a kernel LSH candidate —
     swapping the candidate generator may not lose true near-dups."""
-    kcand = {(r.doc_a, r.doc_b) for r in K.lsh_candidate_pairs_kernel(spark, SF).collect()}
+    kcand = {(r.doc_a, r.doc_b) for r in K.lsh_candidate_pairs_kernel_raw(spark, SF).collect()}
     assert verified_pairs, "fixture must contain verified near-dup pairs"
     recall = len(verified_pairs & kcand) / len(verified_pairs)
     assert recall == 1.0, f"kernel candidate recall {recall} < 1.0"
@@ -49,7 +49,7 @@ def test_kernel_drop_ids_match_md5_path(spark, input_pdf):
 
 
 def test_simhash64_separates_near_dups(spark, verified_pairs):
-    sh = {r.doc_id: r.simhash for r in K.simhash64_kernel(spark, SF).collect()}
+    sh = {r.doc_id: r.simhash for r in K.simhash64_kernel_raw(spark, SF).collect()}
     near = [_hamming(sh[a], sh[b]) for a, b in verified_pairs if a in sh and b in sh]
     assert near and max(near) <= 12, f"near-dup hamming too high: {sorted(near)[-3:]}"
     # random pairs sit near 32 bits apart

@@ -2,9 +2,48 @@
 
 from data_quality_with_nessie_spark.operators.multimodal import (
     _decode_stub,
+    decode_headers,
     extract_features,
+    parse_png_dims,
+    parse_wav_duration_ms,
+    png_bytes,
     synth_assets,
+    wav_bytes,
 )
+
+
+def test_png_wav_header_decode_real(spark):
+    """Round-3 VERDICT item 7: PNG width/height and WAV duration are
+    parsed from REAL synthesized headers (pure stdlib, no codecs) and
+    must round-trip the declared metadata exactly; video stays stubbed
+    and reports header_parsed=false."""
+    assets = synth_assets(spark, n=48)
+    meta = {
+        r["asset_id"]: (r["kind"], r["meta"])
+        for r in assets.select("asset_id", "kind", "meta").collect()
+    }
+    got = decode_headers(assets).toPandas().set_index("asset_id")
+    assert len(got) == 48
+    for aid, (kind, m) in meta.items():
+        row = got.loc[aid]
+        if kind == "image":
+            assert row["header_parsed"]
+            assert (row["width"], row["height"]) == (m["width"], m["height"])
+        elif kind == "audio":
+            assert row["header_parsed"]
+            assert row["duration_ms"] == m["duration_ms"]
+        else:
+            assert not row["header_parsed"]
+
+
+def test_header_parsers_reject_garbage():
+    assert parse_png_dims(b"not a png at all, definitely long enough!") is None
+    assert parse_png_dims(None) is None
+    assert parse_wav_duration_ms(b"RIFFxxxxNOPE" + b"\x00" * 40) is None
+    assert parse_wav_duration_ms(None) is None
+    # and accept their own synthesis
+    assert parse_png_dims(png_bytes(320, 200)) == (320, 200)
+    assert parse_wav_duration_ms(wav_bytes(1234)) == 1234
 
 
 def test_feature_extraction_roundtrip(spark):

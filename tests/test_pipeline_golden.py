@@ -101,7 +101,11 @@ def test_metrics_lineage(pipeline_outputs, golden_labels):
     for hits in metrics["rule_hits"]:
         for name, n in dict(hits).items():
             got[name] += n
-    assert {k: v for k, v in got.items() if v} == dict(want)
+    # warn channel is observational: counted in lineage, absent from
+    # golden reasons (warn rules never reject — tests/test_warn_rules.py)
+    fail_got = {k: v for k, v in got.items() if v and not k.startswith("warn_")}
+    assert fail_got == dict(want)
+    assert any(k.startswith("warn_") for k in got), "warn counters missing from lineage"
 
 
 def test_keep_rate_completeness_gate(pipeline_outputs, input_pdf):

@@ -79,7 +79,14 @@ def test_sql_surface_over_catalog_and_datasets(spark, input_pdf, tmp_path):
     sdf = spark.createDataFrame(input_pdf.head(300), schema=SOURCE_FILES)
     run(spark, sdf, cat, n_buckets=4)
     views = register_catalog_views(spark, cat)
-    assert set(views) == {"kept", "quarantine", "metrics"}
+    assert set(views) == {
+        "kept",
+        "quarantine",
+        "metrics",
+        "kept_last_batch",
+        "quarantine_last_batch",
+        "rule_hit_rates",
+    }
     row = sql(
         spark,
         "SELECT (SELECT count(*) FROM kept) + (SELECT count(*) FROM quarantine) AS total, "
@@ -91,6 +98,61 @@ def test_sql_surface_over_catalog_and_datasets(spark, input_pdf, tmp_path):
     assert "nation" in names and "lineitem" in names
     n = sql(spark, "SELECT count(*) AS n FROM nation").collect()[0]["n"]
     assert n == 25
+
+
+def test_sql_surface_view_layer(spark, input_pdf, tmp_path):
+    """The reference's last-batch view layer (lakehouse-init.sql:66-98)
+    through the SQL surface: after a second run commits new buckets,
+    *_last_batch views resolve to ONLY the latest branch's buckets, and
+    rule_hit_rates exposes per-bucket fail+warn rates from lineage."""
+    import pandas as pd
+
+    from data_quality_with_nessie_spark.catalog import LocalCatalog
+    from data_quality_with_nessie_spark.pipeline import run
+    from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+    from data_quality_with_nessie_spark.sources.sql_surface import (
+        register_catalog_views,
+        sql,
+    )
+
+    base = input_pdf.head(200)
+    cat = LocalCatalog(str(tmp_path))
+    run(spark, spark.createDataFrame(base, schema=SOURCE_FILES), cat, n_buckets=4)
+    extra = input_pdf.head(40).copy()
+    extra["path"] = "batch2/" + extra["path"]
+    s2 = run(
+        spark,
+        spark.createDataFrame(pd.concat([base, extra]), schema=SOURCE_FILES),
+        cat,
+        n_buckets=4,
+    )
+    register_catalog_views(spark, cat)
+
+    last_branch = sql(
+        spark, "SELECT branch FROM metrics ORDER BY committed_at DESC, branch LIMIT 1"
+    ).collect()[0]["branch"]
+    assert last_branch == s2["run_id"]
+    latest_buckets = {
+        r["bucket"]
+        for r in sql(
+            spark, f"SELECT bucket FROM metrics WHERE branch = '{last_branch}'"
+        ).collect()
+    }
+    assert set(latest_buckets) == set(s2["buckets_processed"])
+    lb = sql(spark, "SELECT DISTINCT bucket FROM kept_last_batch").collect()
+    assert {r["bucket"] for r in lb} <= latest_buckets
+    assert sql(spark, "SELECT count(*) AS n FROM kept_last_batch").collect()[0]["n"] > 0
+
+    rates = sql(
+        spark,
+        "SELECT rule, sum(hits) AS hits FROM rule_hit_rates GROUP BY rule",
+    ).toPandas()
+    assert "null_field" in set(rates["rule"])
+    assert any(r.startswith("warn_") for r in rates["rule"])
+    pct_ok = sql(
+        spark, "SELECT max(hit_pct) AS mx, min(hit_pct) AS mn FROM rule_hit_rates"
+    ).collect()[0]
+    assert 0 <= pct_ok["mn"] and pct_ok["mx"] <= 100
 
 
 def test_schema_drift_tolerated(spark, input_pdf, tmp_path):

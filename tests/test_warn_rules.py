@@ -1,0 +1,65 @@
+"""Warn-severity rules: flag-and-pass, never drop (round-3 VERDICT item
+5 — the reference's bronze-warn vs silver-fail Soda split, reference
+``soda/tables/bronze_amazon_orders.yaml:12-47`` vs
+``silver_amazon_orders.yaml:10-41``, realized as a per-row severity
+channel in the rule registry)."""
+
+import pandas as pd
+
+from data_quality_with_nessie_spark.catalog import LocalCatalog
+from data_quality_with_nessie_spark.pipeline import classify, run
+from data_quality_with_nessie_spark.rules.registry import WARN_RULE_NAMES
+from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+
+
+def _with_warn_rows(input_pdf) -> pd.DataFrame:
+    base = input_pdf.head(150).copy()
+    # max line 600 (warn cut 500, fail cut 1000); 40 short lines keep the
+    # mean under the 200 fail cut → ONLY the warn rule fires
+    long_line = "x" * 600 + "\n" + "\n".join(f"short_line = {i}" for i in range(40))
+    # alnum ratio 0.30 — between the 0.25 fail cut and the 0.40 warn cut
+    low_alnum = "abcde" * 6 + "." * 70
+    extra = pd.DataFrame(
+        {
+            "repo": ["warnrepo"] * 2,
+            "path": ["warn/long.py", "warn/punct.py"],
+            "commit": ["c" * 40, "d" * 40],
+            "lang": ["python", "python"],
+            "content": [long_line, low_alnum],
+        }
+    )
+    return pd.concat([base, extra], ignore_index=True)
+
+
+def test_warn_rules_flag_without_dropping(spark, input_pdf, tmp_path):
+    pdf = _with_warn_rows(input_pdf)
+    sdf = spark.createDataFrame(pdf, schema=SOURCE_FILES)
+    out = classify(sdf, n_buckets=4).toPandas()
+    assert set(WARN_RULE_NAMES) == {"long_lines", "low_alnum"}
+
+    long_row = out[out["path"] == "warn/long.py"].iloc[0]
+    assert long_row["warn_long_lines"] and not long_row["rule_line_length"]
+    punct_row = out[out["path"] == "warn/punct.py"].iloc[0]
+    assert punct_row["warn_low_alnum"] and not punct_row["rule_alnum_ratio"]
+
+    # warn names never appear in rejection reasons, and keep is decided
+    # by fail rules alone (keep ⇔ empty reason list)
+    reasons = out["rejection_reasons"].map(list)
+    assert not reasons.map(lambda r: any(n in r for n in WARN_RULE_NAMES)).any()
+    assert (out["keep"] == reasons.map(len).eq(0)).all()
+
+    # lineage counts the warn channel: hits_warn_<name> in rule_hits
+    cat = LocalCatalog(str(tmp_path))
+    run(spark, sdf, cat, n_buckets=4)
+    metrics = cat.metrics_df(spark).toPandas()
+    for name in WARN_RULE_NAMES:
+        lineage_total = sum(dict(h).get(f"warn_{name}", 0) for h in metrics["rule_hits"])
+        assert lineage_total == int(out[f"warn_{name}"].sum())
+        assert lineage_total > 0, f"warn rule {name} never fired on the fixture"
+
+    # and the keep/drop outcome is untouched by the warn channel: every
+    # planted warn-only row survives into kept
+    kept_paths = set(cat.read_table(spark, "kept").toPandas()["path"])
+    quar = cat.read_table(spark, "quarantine").toPandas()
+    for p in ("warn/long.py", "warn/punct.py"):
+        assert (p in kept_paths) != (p in set(quar["path"]))
