@@ -1,0 +1,135 @@
+"""Third scale point (5× growth at the larger operating point) for the
+superlinear-growth suspects from round 2: lsh_jaccard_verified,
+near_dup_pairs, and the round-3 pruned regime (near_dup_pairs_pruned).
+
+The driver ships sf0.001/0.01/0.1 only, so the 5× point is synthesized
+deterministically from sf0.1 (no external data) with DENSITY-PRESERVING
+tiling — each tile is an "orthogonal" transform of the base corpus, so
+within-tile near-dup structure is preserved exactly while cross-tile
+pairs are unrelated; per-doc candidate/pair density therefore stays
+constant and T(5x)/T(1x) measures plan scaling, not a denser problem:
+
+* documents: every whitespace run becomes a per-tile salt token
+  (`... x<t>q ...`) — shingle sets transform injectively per tile
+  (within-tile Jaccard unchanged, cross-tile Jaccard ≈ 0); the 1× point
+  uses the SAME transform (tile 0) so per-doc work is identical.
+* embeddings: per-tile coordinate roll + deterministic sign flips — an
+  orthogonal map (within-tile cosines exact, cross-tile ≈ random).
+
+Usage: python BENCH/scale_point3.py   → merges into BENCH/scale_curve.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+BASE = os.environ.get("DQ_TILED_DIR", "/tmp/dq_scale_tiled")
+TILES = 5
+
+QUERIES = ["lsh_jaccard_verified", "near_dup_pairs", "near_dup_pairs_pruned"]
+
+
+def _tile_docs(pdf, t: int):
+    out = pdf.copy()
+    out["doc_id"] = out["doc_id"] + t * 1_000_000
+    out["text"] = out["text"].str.replace(r"\s+", f" x{t}q ", regex=True)
+    return out
+
+
+def _tile_emb(pdf, t: int):
+    import numpy as np
+
+    out = pdf.copy()
+    out["vec_id"] = out["vec_id"] + t * 1_000_000
+    flips = np.random.RandomState(1000 + t).choice([-1.0, 1.0], 64)
+    roll = (13 * t) % 64
+
+    def xform(v, flips=flips, roll=roll):
+        a = np.roll(np.asarray(v, dtype=np.float32), roll) * flips
+        return a.astype(np.float32).tolist()
+
+    out["embedding"] = out["embedding"].map(xform)
+    return out
+
+
+def ensure_tiled() -> None:
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for scale, n_tiles in (("1x", 1), ("5x", TILES)):
+        dest = os.path.join(BASE, scale)
+        if os.path.isdir(dest):
+            continue
+        os.makedirs(dest + ".tmp", exist_ok=True)
+        docs = pq.read_table(f"{SF01}/documents.parquet").to_pandas()
+        full = pd.concat([_tile_docs(docs, t) for t in range(n_tiles)], ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(full, preserve_index=False),
+            os.path.join(dest + ".tmp", "documents.parquet"),
+        )
+        emb = pq.read_table(f"{SF01}/embeddings.parquet").to_pandas()
+        efull = pd.concat([_tile_emb(emb, t) for t in range(n_tiles)], ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(efull, preserve_index=False),
+            os.path.join(dest + ".tmp", "embeddings.parquet"),
+        )
+        os.rename(dest + ".tmp", dest)
+        print(f"tiled {scale}: {len(full)} docs, {len(efull)} vectors", flush=True)
+
+
+def main() -> None:
+    from data_quality_with_nessie_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    ensure_tiled()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="scale-point3", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    queries = entry_mod.queries()
+    queries["quality_pipeline_docs"](spark, "/root/testdata/sf0.001").count()
+
+    path = os.path.join(REPO, "BENCH", "scale_curve.json")
+    data = {"cpus": cpus, "queries": {}}
+    if os.path.exists(path):
+        with open(path) as fh:
+            data = json.load(fh)
+    tiled = data.setdefault("tiled_5x_point", {})
+    for name in QUERIES:
+        row = {}
+        for label in ("1x", "5x"):
+            sf_dir = os.path.join(BASE, label)
+            best = None
+            for _ in range(2):
+                df = queries[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                t = time.perf_counter() - t0
+                best = t if best is None else min(best, t)
+            row[label] = round(best, 3)
+        row["ratio_5x"] = round(row["5x"] / max(row["1x"], 1e-9), 2)
+        tiled[name] = row
+        print(name, row, flush=True)
+    data["tiled_5x_note"] = (
+        "density-preserving 5x tiling of sf0.1 (BENCH/scale_point3.py): "
+        "per-tile orthogonal transforms keep within-tile near-dup structure "
+        "and kill cross-tile similarity, so ratio_5x measures plan scaling "
+        "at constant pair density — linear plans score ~5, superlinear higher"
+    )
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -721,20 +721,22 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY lang
         """,
         "warn_rates": """
+            WITH w AS (
+                SELECT
+                  CASE WHEN list_max(list_transform(string_split(coalesce(text, ''), chr(10)), x -> strlen(x))) > 500
+                       THEN 1 ELSE 0 END AS wl,
+                  CASE WHEN strlen(coalesce(text, '')) >= 20
+                        AND 5 * (strlen(coalesce(text, '')) - strlen(regexp_replace(coalesce(text, ''), '[A-Za-z0-9]', '', 'g')))
+                            < 2 * strlen(coalesce(text, ''))
+                       THEN 1 ELSE 0 END AS wa
+                FROM documents
+            )
             SELECT count(*) AS n_docs,
-                   sum(CASE WHEN list_max(list_transform(string_split(coalesce(text, ''), chr(10)), x -> length(x))) > 500
-                       THEN 1 ELSE 0 END) AS warn_long_lines,
-                   sum(CASE WHEN length(coalesce(text, '')) >= 20
-                             AND (length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9]', '', 'g')))::DOUBLE
-                                 / CASE WHEN length(coalesce(text, '')) > 0 THEN length(coalesce(text, '')) ELSE 1 END < 0.40
-                       THEN 1 ELSE 0 END) AS warn_low_alnum,
-                   round(avg(CASE WHEN list_max(list_transform(string_split(coalesce(text, ''), chr(10)), x -> length(x))) > 500
-                       THEN 1 ELSE 0 END) * 100, 4) AS warn_long_lines_pct,
-                   round(avg(CASE WHEN length(coalesce(text, '')) >= 20
-                             AND (length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9]', '', 'g')))::DOUBLE
-                                 / CASE WHEN length(coalesce(text, '')) > 0 THEN length(coalesce(text, '')) ELSE 1 END < 0.40
-                       THEN 1 ELSE 0 END) * 100, 4) AS warn_low_alnum_pct
-            FROM documents
+                   sum(wl) AS warn_long_lines,
+                   sum(wa) AS warn_low_alnum,
+                   round(avg(wl) * 100, 4) AS warn_long_lines_pct,
+                   round(avg(wa) * 100, 4) AS warn_low_alnum_pct
+            FROM w
         """,
         "doc_fingerprint": """
             SELECT doc_id,

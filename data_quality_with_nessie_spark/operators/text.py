@@ -112,22 +112,14 @@ def warn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; an operator reads this to tune warn thresholds before
     promoting them to fail."""
     from ..rules.heuristics import (
-        ALNUM_MIN_CHARS,
-        WARN_MAX_LINE_LEN,
-        WARN_MIN_ALNUM_RATIO,
-        _ALNUM_CHARS,
+        spark_warn_long_lines,
+        spark_warn_low_alnum,
     )
 
     docs = _docs(spark, sf_dir)
     text = F.coalesce(F.col("text"), F.lit(""))
-    max_line = F.array_max(F.transform(F.split(text, "\n", -1), F.length))
-    n = F.length(text)
-    alnum = n - F.length(F.translate(text, _ALNUM_CHARS, ""))
-    ratio = F.when(n > 0, alnum.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
-    w_long = (max_line > F.lit(WARN_MAX_LINE_LEN)).cast("long")
-    w_alnum = ((n >= F.lit(ALNUM_MIN_CHARS)) & (ratio < F.lit(WARN_MIN_ALNUM_RATIO))).cast(
-        "long"
-    )
+    w_long = spark_warn_long_lines(text).cast("long")
+    w_alnum = spark_warn_low_alnum(text).cast("long")
     return docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(w_long).alias("warn_long_lines"),

@@ -37,11 +37,16 @@ from .schemas import SOURCE_FILES
 
 INPUT_COLS = [f.name for f in SOURCE_FILES.fields]
 
-# columns appended by the mapInArrow scoring stage
+# columns appended by the mapInArrow scoring stage (warn flags ride the
+# same pass — as Catalyst HOF expressions they cost ~50% of classify
+# throughput, measured; as segmented numpy over the same buffers they
+# are noise)
 _SCORED_FIELDS = [
     T.StructField("langid_reject", T.BooleanType(), True),
     T.StructField("perplexity_reject", T.BooleanType(), True),
     T.StructField("scrubbed_content", T.StringType(), True),
+    T.StructField("warn_long_lines", T.BooleanType(), True),
+    T.StructField("warn_low_alnum", T.BooleanType(), True),
 ]
 
 
@@ -71,16 +76,21 @@ def _score_scrub_batches(batches):
         content = batch.column(batch.schema.get_field_index("content"))
         lang = batch.column(batch.schema.get_field_index("lang"))
         langid_fired, ppl_fired = kernel.score_arrow(content, lang)
+        warn_long, warn_alnum = kernel.warn_flags_arrow(content)
         scrubbed = scrub_arrow(content)
         arrays = list(batch.columns) + [
             pa.array(langid_fired),
             pa.array(ppl_fired),
             scrubbed,
+            pa.array(warn_long),
+            pa.array(warn_alnum),
         ]
         names = list(batch.schema.names) + [
             "langid_reject",
             "perplexity_reject",
             "scrubbed_content",
+            "warn_long_lines",
+            "warn_low_alnum",
         ]
         yield pa.RecordBatch.from_arrays(arrays, names=names)
 
@@ -114,19 +124,14 @@ def classify(
         for rule in RULES
         if not rule.is_udf and rule.severity == "fail"
     ]
-    # warn rules ride the SAME single select (native exprs only): they
-    # never drop, never enter rejection_reasons — they only produce
-    # ``warn_<name>`` flags that the lineage agg counts (bronze-warn vs
-    # silver-fail, reference ``bronze_amazon_orders.yaml:12-47``)
-    warns = [
-        F.coalesce(rule.spark(scored), F.lit(False)).alias(f"warn_{rule.name}")
-        for rule in RULES
-        if rule.severity == "warn"
-    ]
+    # warn flags (``warn_<name>``) were computed inside the mapInArrow
+    # stage (byte-based spec; Catalyst-HOF versions cost ~50% throughput,
+    # measured) — they never drop, never enter rejection_reasons; the
+    # lineage agg counts them (bronze-warn vs silver-fail, reference
+    # ``bronze_amazon_orders.yaml:12-47``)
     flagged = scored.select(
         *[c for c in scored.columns if c not in ("langid_reject", "perplexity_reject")],
         *native,
-        *warns,
         F.coalesce(F.col("langid_reject"), F.lit(False)).alias("rule_langid"),
         F.coalesce(F.col("perplexity_reject"), F.lit(False)).alias("rule_perplexity"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),

@@ -212,6 +212,78 @@ def score_arrow(content: pa.Array, lang: pa.Array) -> tuple[np.ndarray, np.ndarr
     return score_buffers(data, starts, lens, claimed, n_chars)
 
 
+# ---- warn-channel flags (byte-denominated, vectorized) --------------------
+# The warn rules ride the SAME mapInArrow pass as the scorers: computing
+# them as Catalyst expressions (split→transform→array_max + translate)
+# measurably cost ~50% of classify throughput (round-3 scaling bench,
+# quiet pair) because the HOF trees are interpreted per row with no
+# subexpression reuse. Here they are two segmented numpy passes over the
+# batch region — noise next to the trigram scorer. Spec is BYTES (line
+# length in bytes, alnum ratio over bytes): exact, engine-portable
+# (octet_length/strlen), and identical to chars on ASCII corpora.
+_ALNUM_LUT = np.zeros(256, dtype=np.uint8)
+_ALNUM_LUT[48:58] = 1  # 0-9
+_ALNUM_LUT[65:91] = 1  # A-Z
+_ALNUM_LUT[97:123] = 1  # a-z
+from .heuristics import ALNUM_MIN_CHARS as WARN_ALNUM_MIN_BYTES  # noqa: E402
+from .heuristics import WARN_MAX_LINE_LEN as WARN_MAX_LINE_BYTES  # noqa: E402
+# alnum warn: ratio < 0.40 == 5*alnum < 2*bytes (exact integer compare)
+
+
+def warn_flags_buffers(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(warn_long_lines, warn_low_alnum) bool[n] — byte-based warn rules
+    over the zero-copy batch buffers."""
+    n = len(starts)
+    if n == 0:
+        z = np.zeros(0, dtype=bool)
+        return z, z
+    base = int(starts[0])
+    end = int((starts + lens).max())
+    region = data[base:end]
+    rel = (starts - base).astype(np.int64)
+    ends = rel + lens
+
+    # max line length (bytes): segments between newlines within each doc
+    max_line = lens.astype(np.int64).copy()  # no newline → the whole doc
+    nl = np.nonzero(region == 10)[0]
+    if nl.size:
+        doc_of = np.searchsorted(rel, nl, side="right") - 1
+        ok = (doc_of >= 0) & (nl < ends[doc_of])  # ignore gap bytes
+        nl, doc_of = nl[ok], doc_of[ok]
+    if nl.size:
+        prev_nl = np.empty_like(nl)
+        prev_nl[0] = -1
+        prev_nl[1:] = nl[:-1]
+        prev_doc = np.empty_like(doc_of)
+        prev_doc[0] = -1
+        prev_doc[1:] = doc_of[:-1]
+        seg_start = np.where(prev_doc == doc_of, prev_nl + 1, rel[doc_of])
+        seg_len = nl - seg_start
+        first = np.nonzero(np.diff(doc_of, prepend=-1))[0]
+        seg_max = np.maximum.reduceat(seg_len, first)
+        docs_with_nl = doc_of[first]
+        last = np.append(first[1:] - 1, nl.size - 1)
+        trail = ends[docs_with_nl] - (nl[last] + 1)
+        max_line[docs_with_nl] = np.maximum(seg_max, trail)
+    warn_long = max_line > WARN_MAX_LINE_BYTES
+
+    # alnum ratio (bytes): per-doc count of [0-9A-Za-z] bytes
+    padded = _scratch("warn_alnum", region.size + 1, np.int64)
+    padded[: region.size] = _ALNUM_LUT[region]
+    padded[region.size] = 0
+    cnt = np.add.reduceat(padded[: region.size + 1], np.minimum(rel, region.size))[:n]
+    cnt[lens == 0] = 0
+    warn_alnum = (lens >= WARN_ALNUM_MIN_BYTES) & (5 * cnt < 2 * lens)
+    return warn_long, warn_alnum
+
+
+def warn_flags_arrow(content: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    data, starts, lens = buffers_from_arrow(content)
+    return warn_flags_buffers(data, starts, lens)
+
+
 # kept for callers that need per-language scores (calibration/tests)
 def lang_score_matrix(data, starts, lens) -> tuple[np.ndarray, np.ndarray]:
     """(scores [n_langs, n], ntri) — exposed for langid_scores()."""

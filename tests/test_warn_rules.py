@@ -31,6 +31,44 @@ def _with_warn_rows(input_pdf) -> pd.DataFrame:
     return pd.concat([base, extra], ignore_index=True)
 
 
+def test_warn_spec_parity_kernel_expr_pandas(spark, input_pdf):
+    """The byte-denominated warn spec must decide identically in all
+    three implementations: the Arrow kernel (pipeline hot path), the
+    Spark column expressions (warn_rates / ad-hoc), and the pandas twins
+    — including on multi-byte content where bytes ≠ chars."""
+    from pyspark.sql import functions as F
+
+    from data_quality_with_nessie_spark.rules import heuristics as H
+    from data_quality_with_nessie_spark.rules import kernel as K
+
+    pdf = input_pdf.head(120)[["content"]].copy().reset_index(drop=True)
+    pdf.loc[len(pdf)] = ["é" * 300]  # 600 bytes, 300 chars, one line
+    pdf.loc[len(pdf)] = ["日本語テキスト " * 40]  # heavy multi-byte
+    pdf.loc[len(pdf)] = ["ab\n" * 200]  # many short lines
+    pdf.loc[len(pdf)] = [None]
+
+    import pandas as pd
+    import pyarrow as pa
+
+    arr = pa.array(pdf["content"], type=pa.string())
+    k_long, k_alnum = K.warn_flags_arrow(arr)
+    p_long = H.pd_warn_long_lines(pdf["content"]).to_numpy(dtype=bool)
+    p_alnum = H.pd_warn_low_alnum(pdf["content"]).to_numpy(dtype=bool)
+    assert list(k_long) == list(p_long)
+    assert list(k_alnum) == list(p_alnum)
+
+    sdf = spark.createDataFrame(pdf, schema="content string")
+    got = (
+        sdf.select(
+            F.coalesce(H.spark_warn_long_lines(F.col("content")), F.lit(False)).alias("wl"),
+            F.coalesce(H.spark_warn_low_alnum(F.col("content")), F.lit(False)).alias("wa"),
+        )
+        .toPandas()
+    )
+    assert list(got["wl"]) == list(p_long)
+    assert list(got["wa"]) == list(p_alnum)
+
+
 def test_warn_rules_flag_without_dropping(spark, input_pdf, tmp_path):
     pdf = _with_warn_rows(input_pdf)
     sdf = spark.createDataFrame(pdf, schema=SOURCE_FILES)
