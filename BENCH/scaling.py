@@ -6,7 +6,13 @@ Round-3 methodology (closes the round-2 ADVICE finding and VERDICT item 1):
 
 - PAIRED, INTERLEAVED runs: each "pair" runs level-2 then level-8
   back-to-back in fresh subprocesses (one JVM per master setting), so
-  both levels of a pair see the same host conditions. ≥5 pairs per run.
+  both levels of a pair see the same host conditions; multiple pairs per
+  run.
+- CPU PINNING: each level is tasksetted to exactly its core budget —
+  python workers and the JVM share N cores the way a real N-core
+  executor's would; unpinned local mode leaks python-worker CPU onto
+  spare host cores, flattering the LOW level (+34% free cores measured
+  at level 2 vs +14% at level 8).
 - EXTERNAL-LOAD accounting per sample: during each level's measurement
   we diff /proc/stat total busy jiffies against the benchmark's own
   process-subtree CPU (sampled from /proc each second — RUSAGE_CHILDREN
@@ -49,8 +55,11 @@ N_FILES = 16  # parquet files → parallel scan from the first stage on
 # 0.76 from 8→32 on this VM (the top cores are shared/throttled), so a
 # low-N pair measures software overhead — not hardware limits.
 LEVELS = (2, 8)
-REPEATS = int(os.environ.get("DQ_BENCH_REPEATS", "3"))  # 1st warms JVM; min of rest
-PAIRS = int(os.environ.get("DQ_BENCH_PAIRS", "5"))
+# per-repeat wall variance inside one warm JVM is ~25% (GC, AQE replans);
+# min-of-4 is needed to reach the stable floor at both levels (min-of-2
+# measured ~10% above it at each level)
+REPEATS = int(os.environ.get("DQ_BENCH_REPEATS", "5"))  # 1st warms JVM; min of rest
+PAIRS = int(os.environ.get("DQ_BENCH_PAIRS", "3"))
 # avg neighbor cores during a sample above which the pair is not "quiet".
 EXTERNAL_LOAD_THRESHOLD = float(os.environ.get("DQ_BENCH_EXT_LOAD_MAX", "1.5"))
 
@@ -164,15 +173,34 @@ def _sweep_subtree(root_pid: int, seen_max: dict) -> None:
 
 
 def run_level(level: int) -> dict:
-    """Run one level in a fresh subprocess; attribute CPU during the run
-    to us (sampled /proc subtree) vs neighbors (/proc/stat remainder)."""
+    """Run one level in a fresh subprocess PINNED to exactly ``level``
+    CPUs (taskset over the whole JVM + python-worker tree); attribute
+    CPU during the run to us (sampled /proc subtree) vs neighbors
+    (/proc/stat remainder).
+
+    Pinning is what makes the N-vs-4N comparison honest on one host: a
+    local[N] job's python workers are separate PROCESSES, so without
+    pinning they overlap the JVM on SPARE host cores — measured +34%
+    free CPU at level 2 vs +14% at level 8, structurally flattering the
+    low level and capping measurable efficiency at ~0.75 no matter the
+    software. A real N-core executor has no spare cores to leak onto;
+    the pinned measurement models it exactly.
+    """
     hz = os.sysconf("SC_CLK_TCK")
     (j0, s0), t0 = _total_busy_jiffies(), time.perf_counter()
     # temp files, not PIPEs: the child's stderr carries Spark logs that
     # would fill a pipe buffer and deadlock the un-drained child
     with tempfile.TemporaryFile("w+") as fout, tempfile.TemporaryFile("w+") as ferr:
         proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--level", str(level)],
+            [
+                "taskset",
+                "-c",
+                f"0-{level - 1}",
+                sys.executable,
+                os.path.abspath(__file__),
+                "--level",
+                str(level),
+            ],
             stdout=fout,
             stderr=ferr,
             text=True,
@@ -319,7 +347,11 @@ def main() -> None:
 ## Throughput scaling (N vs 4N parallelism — local[{lo}] vs local[{hi}] on one 32-core host)
 
 Full pipeline hot path (salted bucketing → native rules → vectorized
-langid/perplexity UDFs → regex scrub → materialize), {rows} files, warm JVM.
+langid/perplexity UDFs → regex scrub → materialize), {rows} files, warm
+JVM, each level CPU-PINNED (taskset) to exactly its core budget — the
+honest model of an N-core executor (see NOTES: unpinned local mode
+leaks python-worker CPU onto spare host cores and flatters the low
+level).
 
 | level | sec | files/sec |
 |---|---|---|

@@ -41,10 +41,15 @@ def streaming_quality_filter(
     size the way the reference's 1-slot pool serialized batches, but
     without idling the cluster between polls.
 
-    ``near_dup=True`` deduplicates near-duplicates WITHIN each
-    micro-batch (the streaming analog of the reference's in-batch
-    ``drop_duplicates``, ``cleansing.py:82``); cross-epoch near-dup
-    needs the batch job over the accumulated corpus.
+    ``near_dup=True`` deduplicates near-duplicates within each
+    micro-batch AND — from the second epoch on — against the whole
+    committed corpus: every epoch's commit publishes its MinHash band
+    signatures, so the next epoch's pre-pass takes the incremental path
+    (pending docs candidate-join the committed ``signatures`` table; see
+    ``pipeline._near_dup_pre_pass``). A late-arriving twin of a doc
+    kept in an earlier epoch is therefore quarantined, with the
+    committed original keeping keeper-ship — streaming state the
+    reference's sensor-DAG chain has no analog for.
     """
     stream = (
         spark.readStream.schema(SOURCE_FILES)

@@ -33,7 +33,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument(
         "--near-dup",
         action="store_true",
-        help="corpus-level near-dup dedup pre-pass (quarantines non-keepers)",
+        help="corpus-level near-dup dedup pre-pass (quarantines non-keepers); "
+        "incremental against committed signature state when available",
+    )
+    p.add_argument(
+        "--near-dup-full",
+        action="store_true",
+        help="force the full-corpus near-dup recompute even when committed "
+        "signature state would allow the incremental path",
     )
     p.add_argument(
         "--commit-group-size",
@@ -101,6 +108,7 @@ def main(argv: list[str] | None = None) -> dict:
         LocalCatalog(args.output),
         n_buckets=n_buckets,
         near_dup=args.near_dup,
+        near_dup_incremental=not args.near_dup_full,
         staged_write=not args.persist_cache,
         commit_group_size=group_size,
     )

@@ -111,3 +111,56 @@ def test_streaming_near_dup_within_epoch(spark, input_pdf, tmp_path):
     assert nd > 0
     total = cat.read_table(spark, "kept").count() + quar.count()
     assert total == len(batch)
+
+
+def test_streaming_near_dup_across_epochs(spark, input_pdf, tmp_path):
+    """Round-3: a twin landing in a LATER micro-batch than its original
+    is deduped against the committed corpus via the incremental
+    signature state — the kept original keeps keeper-ship, the late twin
+    is quarantined (the streaming front-end's cross-epoch dedup)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from reference_impl.labeler import _shingle_set
+
+    base = input_pdf.head(150).copy()
+    d = tmp_path / "landing_xe"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(base, preserve_index=False), str(d / "b1.parquet"))
+    cat = LocalCatalog(str(tmp_path / "cat_xe"))
+    ckpt = str(tmp_path / "ckpt_xe")
+    q = streaming_quality_filter(
+        spark, str(d), cat, checkpoint_dir=ckpt, n_buckets=8, near_dup=True
+    )
+    q.awaitTermination(300)
+    kept_before = set(cat.read_table(spark, "kept").toPandas()["path"])
+
+    suffix = "\nlate_stream_twin = 1\n"
+
+    def _j(text):
+        a, b = _shingle_set(text), _shingle_set(text + suffix)
+        return len(a & b) / len(a | b) if (a | b) else 0.0
+
+    originals = base[
+        base["path"].isin(kept_before) & (base["content"].str.len().fillna(0) > 600)
+    ]
+    originals = originals[originals["content"].map(_j) >= 0.85].head(4)
+    assert len(originals) >= 2
+    twins = originals.copy()
+    twins["path"] = "latetwin/" + twins["path"]
+    twins["content"] = twins["content"] + suffix
+    pq.write_table(pa.Table.from_pandas(twins, preserve_index=False), str(d / "b2.parquet"))
+
+    q2 = streaming_quality_filter(
+        spark, str(d), cat, checkpoint_dir=ckpt, n_buckets=8, near_dup=True
+    )
+    q2.awaitTermination(300)
+    kept_after = set(cat.read_table(spark, "kept").toPandas()["path"])
+    quar = cat.read_table(spark, "quarantine")
+    nd_paths = set(
+        quar.filter(F.array_contains("rejection_reasons", "near_dup"))
+        .toPandas()["path"]
+    )
+    for _, row in twins.iterrows():
+        assert row["path"][len("latetwin/") :] in kept_after
+        assert row["path"] in nd_paths, f"late twin {row['path']} not cross-epoch deduped"
