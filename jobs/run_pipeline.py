@@ -20,7 +20,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct `python jobs/run_pipeline.py` puts jobs/ (not the repo root) on
+# sys.path; cluster runs get the package via --py-files instead
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def parse_args(argv: list[str]) -> argparse.Namespace:
@@ -79,7 +86,6 @@ def main(argv: list[str] | None = None) -> dict:
         # on-disk bytes (parquet metadata would be exact; size/row ≈ 1 KB
         # is conservative for source files)
         import glob
-        import os
 
         if os.path.isdir(args.input):
             nbytes = sum(
@@ -95,8 +101,6 @@ def main(argv: list[str] | None = None) -> dict:
 
     group_size = args.commit_group_size
     if group_size <= 0:
-        import os
-
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from cluster_conf import choose_commit_group_size
 
