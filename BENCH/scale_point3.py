@@ -38,9 +38,17 @@ QUERIES = ["lsh_jaccard_verified", "near_dup_pairs", "near_dup_pairs_pruned"]
 
 
 def _tile_docs(pdf, t: int):
+    # prefix EVERY token with a per-tile tag: an injective map on tokens
+    # is an injective map on 3-shingles, so each doc's shingle set — and
+    # every pairwise Jaccard within the tile — is exactly isomorphic to
+    # the base corpus, while tiles share no shingles at all. (Inserting a
+    # salt BETWEEN tokens instead creates universal (salt, w, salt)
+    # shingles shared by any two docs with any common word — MinHash
+    # band minima collapse onto them and candidates explode toward
+    # O(n²); measured, rejected.)
     out = pdf.copy()
     out["doc_id"] = out["doc_id"] + t * 1_000_000
-    out["text"] = out["text"].str.replace(r"\s+", f" x{t}q ", regex=True)
+    out["text"] = out["text"].str.replace(r"(?<!\S)(?=\S)", f"q{t}x", regex=True)
     return out
 
 
