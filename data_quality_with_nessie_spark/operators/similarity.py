@@ -515,15 +515,15 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune → scan one cell) is what this query pins.
     """
     emb = _emb_n(spark, sf_dir)
+    # per-label centroid in ONE groupBy pass: 64 avg aggregates over the
+    # array elements — no posexplode (which shuffled n×64 scalar rows
+    # through two groupBys; round-2 VERDICT minor #4)
     cent = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg(F.col("v")).alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s"))
+        emb.groupBy("label")
+        .agg(*[F.avg(F.col("embedding")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
         .select(
             F.col("label").alias("cell"),
-            F.transform("s", lambda x: x["c"]).alias("centroid"),
+            F.array(*[F.col(f"c{i}") for i in range(EMB_DIM)]).alias("centroid"),
         )
         .withColumn("c_nrm", _norm(F.col("centroid")))
     )
@@ -579,12 +579,18 @@ def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell only; here the cells come from the given ``label`` column.)
     """
     emb = _emb(spark, sf_dir)
-    summed = (
-        emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    avgs = emb.groupBy("label").agg(
+        *[
+            F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+            for i in range(EMB_DIM)
+        ]
     )
-    return summed.groupBy("label").agg(
-        F.count(F.lit(1)).alias("dims"),
-        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+    sq_sum = None
+    for i in range(EMB_DIM):
+        term = F.col(f"c{i}") * F.col(f"c{i}")
+        sq_sum = term if sq_sum is None else sq_sum + term
+    return avgs.select(
+        "label",
+        F.lit(EMB_DIM).cast("long").alias("dims"),
+        F.round(F.sqrt(sq_sum), 6).alias("centroid_norm"),
     )
