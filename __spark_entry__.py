@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_stopword": T.langid_stopword,
         "doc_fingerprint": T.doc_fingerprint,
         "warn_rates": T.warn_rates,
+        "contamination_check": T.contamination_check,
+        "stratified_sample": T.stratified_sample,
         "length_quantiles": T.length_quantiles,
         "vocab_top_tokens": T.vocab_top_tokens,
         "quality_filter_documents": T.quality_filter_documents,
@@ -737,6 +739,18 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(wl) * 100, 4) AS warn_long_lines_pct,
                    round(avg(wa) * 100, 4) AS warn_low_alnum_pct
             FROM w
+        """,
+        "contamination_check": """
+            SELECT doc_id,
+                   ((CASE WHEN contains(coalesce(text, ''), 'key agg row scan') THEN 1 ELSE 0 END) + (CASE WHEN contains(coalesce(text, ''), 'batch window spark order') THEN 1 ELSE 0 END) + (CASE WHEN contains(coalesce(text, ''), 'small fast slow filter') THEN 1 ELSE 0 END) + (CASE WHEN contains(coalesce(text, ''), 'window merge spark merge') THEN 1 ELSE 0 END) + (CASE WHEN contains(coalesce(text, ''), 'data query small row') THEN 1 ELSE 0 END))::BIGINT AS n_probe_hits,
+                   ((CASE WHEN contains(coalesce(text, ''), 'key agg row scan') THEN 1 ELSE 0 END) + (CASE WHEN contains(coalesce(text, ''), 'batch window spark order') THEN 1 ELSE 0 END) + (CASE WHEN contains(coalesce(text, ''), 'small fast slow filter') THEN 1 ELSE 0 END) + (CASE WHEN contains(coalesce(text, ''), 'window merge spark merge') THEN 1 ELSE 0 END) + (CASE WHEN contains(coalesce(text, ''), 'data query small row') THEN 1 ELSE 0 END)) > 0 AS contaminated
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang,
+                   substr(md5('strat:' || doc_id::VARCHAR), 1, 2) AS strat_key
+            FROM documents
+            WHERE substr(md5('strat:' || doc_id::VARCHAR), 1, 2) < (CASE WHEN lang = 'zh' THEN '80' ELSE CASE WHEN lang = 'es' THEN '80' ELSE CASE WHEN lang = 'fr' THEN '80' ELSE CASE WHEN lang = 'de' THEN '80' ELSE CASE WHEN lang = 'en' THEN '33' ELSE '4d' END END END END END)
         """,
         "doc_fingerprint": """
             SELECT doc_id,

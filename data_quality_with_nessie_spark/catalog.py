@@ -30,6 +30,13 @@ is to a name that never pre-exists (pinned by tests/test_catalog_admin).
 On a real lakehouse this maps 1:1 onto Iceberg branch + fast-forward
 (reference catalog config to replicate:
 ``spark-container/modules/SparkIcebergNessieMinIO/CustomSparkConfig.py:29-41``).
+
+SINGLE-WRITER CONTRACT: one pipeline job per catalog root at a time
+(the north_rule deployment shape — one spark-submit job). Concurrent
+writers would race rollback_uncommitted's staging purge and the
+manifest namespace (collisions are ``assert``ed, not resolved); Nessie's
+optimistic multi-branch commits are the real-lakehouse answer, and the
+shim's branch→stage→publish structure maps onto them without API change.
 """
 
 from __future__ import annotations

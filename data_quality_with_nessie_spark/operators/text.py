@@ -129,6 +129,62 @@ def warn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixture-tuned probe n-grams standing in for benchmark/eval strings
+# (real deployments load thousands of probes; see contamination_check)
+CONTAMINATION_PROBES: tuple[str, ...] = (
+    "key agg row scan",
+    "batch window spark order",
+    "small fast slow filter",
+    "window merge spark merge",
+    "data query small row",
+)
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination screen: flag docs containing any probe
+    n-gram from a benchmark list — the filter every training-data
+    pipeline runs before a corpus ships (leaked eval strings poison the
+    benchmark). Native ``contains`` per probe keeps the scan one
+    codegen'd pass; at real probe-list sizes (10^4+ needles) swap the
+    inner loop for an Aho-Corasick pass inside the existing mapInArrow
+    stage — the plumbing (one scan, per-doc hit counts) is identical."""
+    docs = _docs(spark, sf_dir)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_hits = None
+    for p in CONTAMINATION_PROBES:
+        term = text.contains(F.lit(p)).cast("int")
+        n_hits = term if n_hits is None else n_hits + term
+    return docs.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_probe_hits"),
+        (n_hits > 0).alias("contaminated"),
+    )
+
+
+# per-language keep rates as hex-prefix thresholds over md5 (x/256):
+# en is downsampled harder than the low-resource languages — the
+# corpus-balancing move of a multilingual training pipeline
+STRATA_HEX: tuple[tuple[str, str], ...] = (("en", "33"), ("de", "80"), ("fr", "80"), ("es", "80"), ("zh", "80"))
+STRATA_DEFAULT_HEX = "4d"
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling: keep a doc iff
+    the first md5 byte of its id is under the language's threshold —
+    seeded, engine-portable (same rows in the DuckDB oracle), and
+    shuffle-free (a filter, not a sampler; the scale property that
+    matters at 10^12 rows). Extends :func:`...relational.deterministic_sample`
+    with per-stratum rates (en 51/256 ≈ 20%, others 128/256 = 50%)."""
+    docs = _docs(spark, sf_dir)
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    thr = F.lit(STRATA_DEFAULT_HEX)
+    for lang, hexcut in STRATA_HEX:
+        thr = F.when(F.col("lang") == lang, F.lit(hexcut)).otherwise(thr)
+    return docs.filter(h2 < thr).select("doc_id", "lang", h2.alias("strat_key"))
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization fingerprint: md5 of lower(trim(collapse-whitespace)).
     The doc-level analog of the content sha256 invariant."""
