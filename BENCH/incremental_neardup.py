@@ -1,0 +1,127 @@
+"""Measures the round-3 incremental near-dup speedup in the EPOCH
+arrangement (the designed steady state — streaming gives every
+micro-batch its own bucket range via ``bucket_offset``, so an append
+leaves committed buckets untouched):
+
+* incremental: epoch 0 commits the corpus with signature state; epoch 1
+  processes ONLY the increment, candidate-joining it against the
+  committed signatures/edges (cross-epoch dedup included).
+* the no-state alternative with the same global-dedup semantics:
+  re-run the whole grown corpus from scratch with a full near-dup pass.
+
+(A single grown INPUT without epochs is NOT the incremental story: hash
+bucketing scatters new keys across all buckets, the key-set check
+invalidates nearly every bucket, and most of the corpus legitimately
+reprocesses — measured 156 s vs 104 s full at 6k docs, i.e. WORSE. The
+bucket-offset epoch mechanism exists precisely so appends land in fresh
+buckets.)
+
+Usage: python BENCH/incremental_neardup.py [n_docs] [increment_fraction]
+Prints one JSON line; numbers recorded in BENCH/NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    import pandas as pd
+
+    from data_quality_with_nessie_spark.catalog import LocalCatalog
+    from data_quality_with_nessie_spark.fixtures import (
+        generate_source_files,
+        input_columns,
+    )
+    from data_quality_with_nessie_spark.pipeline import run
+    from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+    from data_quality_with_nessie_spark.session import get_spark
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.01
+    n_inc = max(1, int(n_docs * frac))
+
+    spark = get_spark(app_name="incr-neardup", master="local[32]", shuffle_partitions=32)
+    base = input_columns(generate_source_files(n_docs, seed=21))
+    inc = base.head(n_inc).copy()
+    inc["path"] = "increment/" + inc["path"]
+    inc["content"] = inc["content"] + "\nincrement_marker = 1\n"
+    grown = pd.concat([base, inc], ignore_index=True)
+    sdf_base = spark.createDataFrame(base, schema=SOURCE_FILES)
+    sdf_grown = spark.createDataFrame(grown, schema=SOURCE_FILES)
+
+    sdf_inc = spark.createDataFrame(inc, schema=SOURCE_FILES)
+    results = {}
+    roots = []
+    n_buckets = 64
+    try:
+        # epoch arrangement: corpus in epoch 0, increment in epoch 1
+        root = tempfile.mkdtemp(prefix="incr_nd_epoch_")
+        roots.append(root)
+        cat = LocalCatalog(root)
+        t0 = time.perf_counter()
+        run(spark, sdf_base, cat, n_buckets=n_buckets, near_dup=True)
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s = run(
+            spark,
+            sdf_inc,
+            cat,
+            n_buckets=n_buckets,
+            bucket_offset=n_buckets,
+            near_dup=True,
+        )
+        second = time.perf_counter() - t0
+        results["incremental_epoch"] = {
+            "corpus_commit_sec": round(first, 2),
+            "increment_sec": round(second, 2),
+            "mode": s["near_dup_mode"],
+            "increment_rows_in": s["rows_in"],
+        }
+        kept_inc = cat.read_table(spark, "kept").count()
+
+        # the no-state alternative: whole grown corpus from scratch
+        root2 = tempfile.mkdtemp(prefix="incr_nd_scratch_")
+        roots.append(root2)
+        cat2 = LocalCatalog(root2)
+        t0 = time.perf_counter()
+        run(spark, sdf_grown, cat2, n_buckets=n_buckets, near_dup=True)
+        scratch = time.perf_counter() - t0
+        results["from_scratch"] = {"grown_corpus_sec": round(scratch, 2)}
+        kept_scratch = cat2.read_table(spark, "kept").count()
+    finally:
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+
+    speedup = results["from_scratch"]["grown_corpus_sec"] / max(
+        results["incremental_epoch"]["increment_sec"], 1e-9
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "incremental_neardup_epoch_append",
+                "n_docs": n_docs,
+                "increment_rows": n_inc,
+                **results,
+                # which twin survives a cluster may differ (committed
+                # originals win in the epoch arrangement; min-id wins from
+                # scratch) but the kept COUNT must agree
+                "kept_equal": int(kept_inc) == int(kept_scratch),
+                "incremental_speedup": round(speedup, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
