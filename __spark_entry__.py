@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": D.lsh_candidate_pairs,
         "lsh_jaccard_verified": D.lsh_jaccard_verified,
         "dedup_clusters": D.dedup_clusters,
+        "dedup_rate_by_source": D.dedup_rate_by_source,
         "ngram_jaccard_topk": D.ngram_jaccard_topk,
         "simhash16": D.simhash16,
         # vectorized kernel forms, exported as DuckDB-checkable derived
@@ -425,6 +426,21 @@ def oracle_sql() -> dict[str, str]:
                s AS doc_id,
                (least(s, min(d)) = s) AS is_keeper
         FROM reach GROUP BY s
+        """,
+        "dedup_rate_by_source": _VERIFIED_PAIRS_CTE + """
+            , members AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_a AS doc_id FROM verified
+                    UNION ALL
+                    SELECT doc_b AS doc_id FROM verified
+                )
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_near_dup,
+                   round(avg(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 100, 4) AS near_dup_pct
+            FROM documents d LEFT JOIN members m ON m.doc_id = d.doc_id
+            GROUP BY source
         """,
         "ngram_jaccard_topk": f"""
             WITH t AS (

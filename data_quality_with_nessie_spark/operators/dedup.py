@@ -365,6 +365,30 @@ def sig_cross_pairs(sig_new: DataFrame, sig_old: DataFrame) -> DataFrame:
     )
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup rate per source shard: the fraction of each source's
+    docs that participate in ≥1 verified near-dup pair — the dashboard a
+    corpus curator watches to find shards that need re-crawling or
+    harder dedup (a shard-level analog of the reference's per-batch
+    duplicate_count warn, ``bronze_amazon_orders.yaml:15-16``)."""
+    docs = _docs(spark, sf_dir)
+    verified = verified_pairs_frame(docs)
+    members = (
+        verified.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(verified.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    flagged = docs.join(members, "doc_id", "left").withColumn(
+        "is_nd", F.coalesce(F.col("_nd"), F.lit(False)).cast("long")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_nd").alias("n_near_dup"),
+        F.round(F.avg("is_nd") * 100, 4).alias("near_dup_pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-dimension SimHash over tokens, one dimension per md5 hex nibble.
