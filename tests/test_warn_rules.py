@@ -69,6 +69,47 @@ def test_warn_spec_parity_kernel_expr_pandas(spark, input_pdf):
     assert list(got["wa"]) == list(p_alnum)
 
 
+def test_warn_kernel_parity_property(input_pdf):
+    """Property form of the kernel↔pandas warn parity: arbitrary unicode
+    around the byte thresholds (lines near 500 bytes, ratios near 2/5)
+    must decide identically in the Arrow kernel and the pandas twins."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_quality_with_nessie_spark.rules import heuristics as H
+    from data_quality_with_nessie_spark.rules import kernel as K
+
+    piece = st.one_of(
+        st.text(alphabet="ab1 .é日\n", min_size=0, max_size=40),
+        st.text(min_size=0, max_size=20),
+        st.just("x" * 499),
+        st.just("x" * 501),
+        st.just("é" * 250),  # 500 bytes, 250 chars
+        st.just("." * 30 + "ab" * 10),  # ratio at the 2/5 boundary
+    )
+    docs = st.lists(
+        st.one_of(st.none(), st.builds(lambda parts: "".join(parts), st.lists(piece, max_size=4))),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(docs)
+    def check(texts):
+        import pandas as pd
+
+        s = pd.Series(texts, dtype=object)
+        arr = pa.array(s, type=pa.string())
+        k_long, k_alnum = K.warn_flags_arrow(arr)
+        p_long = H.pd_warn_long_lines(s).to_numpy(dtype=bool)
+        p_alnum = H.pd_warn_low_alnum(s).to_numpy(dtype=bool)
+        assert list(k_long) == list(p_long), texts
+        assert list(k_alnum) == list(p_alnum), texts
+
+    check()
+
+
 def test_warn_rules_flag_without_dropping(spark, input_pdf, tmp_path):
     pdf = _with_warn_rows(input_pdf)
     sdf = spark.createDataFrame(pdf, schema=SOURCE_FILES)
