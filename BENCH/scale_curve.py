@@ -32,7 +32,7 @@ QUERIES = [
     "lsh_jaccard_verified",
     # similarity
     "ann_banded_topk",
-    "near_dup_pairs",
+    "near_dup_pairs_calib16x4",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -54,7 +54,7 @@ def main() -> None:
     queries["simhash64_kernel_raw"] = DK.simhash64_kernel_raw
     queries["lsh_candidate_pairs_kernel_raw"] = DK.lsh_candidate_pairs_kernel_raw
     # warm JVM + python workers
-    queries["quality_pipeline_docs"](spark, "/root/testdata/sf0.001").count()
+    queries["quality_pipeline"](spark, "/root/testdata/sf0.001").count()
 
     out: dict[str, dict] = {}
     for name in QUERIES:

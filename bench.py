@@ -47,11 +47,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_clusters",
         "cosine_topk",
         "ann_banded_topk",
+        # default = pruned 16×8 regime (round 4); the 16×4 calibration
+        # variant stays benched to keep the regime gap visible
         "near_dup_pairs",
-        "near_dup_pairs_pruned",
+        "near_dup_pairs_calib16x4",
         "quality_filter_documents",
-        # the full pipeline (scorer UDFs + scrub)
-        "quality_pipeline_docs",
+        # the full pipeline (scorer UDFs + scrub; both variants)
+        "quality_pipeline",
     ]
     queries = dict(entry_mod.queries())
     from data_quality_with_nessie_spark.operators import dedup_kernel as DK
@@ -85,7 +87,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     import __spark_entry__ as entry_mod
 
-    entry_mod.queries()["quality_pipeline_docs"](spark, "/root/testdata/sf0.001").count()
+    entry_mod.queries()["quality_pipeline"](spark, "/root/testdata/sf0.001").count()
 
     t0 = time.perf_counter()
     per_query = bench_queries(spark, sf_dir)

@@ -329,6 +329,67 @@ def lsh_candidate_pairs_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kernel_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three kernel invariants in ONE oracle row (driver-facing
+    consolidation of :func:`minhash_bands_kernel`,
+    :func:`simhash64_kernel` and :func:`lsh_candidate_pairs_kernel`,
+    each of which remains exported for direct use):
+
+    * ``n_docs_signed`` / ``n_sig_rows`` — every doc with ≥8 content
+      bytes yields exactly N_BANDS signature rows (coverage);
+    * ``n_verified_pairs`` / ``n_within_hamming12`` — every md5-verified
+      near-dup pair sits within Hamming distance 12 of the 64-bit kernel
+      SimHash (separation);
+    * ``n_twin_pairs`` / ``twin_coverage`` — an identical-text twin of
+      every doc collides with it in ≥1 band (candidate-join certainty).
+
+    A kernel regression in hashing, banding, SimHash votes, or the LSH
+    join breaks at least one column against the SQL-derived oracle.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    sig_cov = minhash_bands_frame(docs).agg(
+        F.count_distinct("doc_id").alias("n_docs_signed"),
+        F.count(F.lit(1)).alias("n_sig_rows"),
+    )
+
+    from .dedup import verified_pairs_frame
+
+    sh = simhash64_frame(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    joined = verified_pairs_frame(_docs(spark, sf_dir)).join(a, "doc_a").join(b, "doc_b")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    sep = joined.agg(
+        F.count(F.lit(1)).alias("n_verified_pairs"),
+        F.coalesce(F.sum((ham <= 12).cast("long")), F.lit(0)).alias("n_within_hamming12"),
+    )
+
+    _TWIN = 1_000_000
+    twin = docs.select((F.col("doc_id") + F.lit(_TWIN)).alias("doc_id"), "text")
+    cand = kernel_candidate_pairs_frame(docs.unionByName(twin))
+    n_twin = (
+        cand.filter(F.col("doc_b") == F.col("doc_a") + F.lit(_TWIN))
+        .filter(F.col("doc_a") < F.lit(_TWIN))
+        .agg(F.count(F.lit(1)).alias("n_twin_pairs"))
+    )
+
+    return (
+        sig_cov.crossJoin(sep)
+        .crossJoin(n_twin)
+        .select(
+            "n_docs_signed",
+            "n_sig_rows",
+            "n_verified_pairs",
+            "n_within_hamming12",
+            "n_twin_pairs",
+            F.round(
+                F.col("n_twin_pairs").cast("double") / F.col("n_docs_signed"), 6
+            ).alias("twin_coverage"),
+        )
+    )
+
+
 def minhash_bands_kernel_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw kernel signature frame (bench/scale-curve path)."""
     return minhash_bands_frame(_docs(spark, sf_dir))

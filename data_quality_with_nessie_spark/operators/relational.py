@@ -256,6 +256,32 @@ def missing_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.agg(F.count(F.lit(1)).alias("row_count"), *aggs)
 
 
+def null_invalid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 + A11 in ONE aggregation pass: per-column null rates
+    (:func:`missing_percent`) and format-validity rate
+    (:func:`invalid_percent`) over the same scan — the driver-facing
+    consolidation of the two Soda-style profile gates (reference
+    ``bronze_amazon_orders.yaml:12-47``: null thresholds; ``:34-36``:
+    invalid format rate). Both underlying operators remain exported for
+    direct use; this merged form exists so the correctness driver covers
+    both in one oracle row."""
+    events = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value", "props"]
+    missing = [
+        F.round(F.avg(F.when(F.col(c).isNull(), 1.0).otherwise(0.0)) * 100, 4).alias(
+            f"missing_pct_{c}"
+        )
+        for c in cols
+    ]
+    well_formed = F.col("props").rlike(r'^\{"k": [0-9]+\}$')
+    invalid = F.when(F.col("props").isNotNull() & ~well_formed, 1.0).otherwise(0.0)
+    return events.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *missing,
+        F.round(F.avg(invalid) * 100, 4).alias("invalid_pct_props"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A9 — duplicate_count on a composite key
 # (reference ``silver_amazon_orders.yaml:12-13``)

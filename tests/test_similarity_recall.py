@@ -33,12 +33,15 @@ def test_ann_banded_no_cartesian(spark):
     assert_no_cartesian(S.ann_banded_topk(spark, SF))
 
 
-def test_near_dup_banded_recall_vs_bruteforce(spark):
+def test_near_dup_calib_recall_vs_bruteforce(spark):
+    """The high-recall 16×4 CALIBRATION regime's contract at the mid
+    threshold (cos ≥ 0.5) — the un-suffixed default is the pruned 16×8
+    regime since round 4 and is guarded below on the clustered fixture."""
     brute = {
         (r["id_a"], r["id_b"]) for r in S.near_dup_pairs_bruteforce(spark, SF).collect()
     }
     banded = {
-        (r["id_a"], r["id_b"]) for r in S.near_dup_pairs(spark, SF).collect()
+        (r["id_a"], r["id_b"]) for r in S.near_dup_pairs_calib16x4(spark, SF).collect()
     }
     assert brute, "fixture must contain at least one near-dup pair"
     # banded candidates are a subset of all pairs; every returned pair is real
@@ -49,6 +52,7 @@ def test_near_dup_banded_recall_vs_bruteforce(spark):
 
 def test_near_dup_banded_no_cartesian(spark):
     assert_no_cartesian(S.near_dup_pairs(spark, SF))
+    assert_no_cartesian(S.near_dup_pairs_calib16x4(spark, SF))
 
 
 def test_ivf_probe_scans_one_cell(spark):
@@ -123,9 +127,11 @@ def _clustered_embeddings(spark, tmp_path, n_clusters=30, per_cluster=12, n_nois
 def test_pruned_regime_recall_and_scan_fraction(spark, tmp_path):
     """Round-2 VERDICT 'what's wrong #1' closed: the 16×8 pruned regime
     must hit recall ≥ 0.9 on the realistic dedup cut (cos ≥ 0.8) AND
-    candidate-scan fraction ≤ 0.1 of all pairs — the 16×4 default
+    candidate-scan fraction ≤ 0.1 of all pairs — the old 16×4 default
     measures ~0.64 scan fraction on weakly-clustered data, which was the
-    scale-killer."""
+    scale-killer. Exercised through the UN-SUFFIXED default entry point
+    (round 4: ``near_dup_pairs`` IS the pruned regime) so a default
+    regression re-fails this gate."""
     sf_dir, n = _clustered_embeddings(spark, tmp_path)
     brute = {
         (r["id_a"], r["id_b"])
@@ -134,7 +140,7 @@ def test_pruned_regime_recall_and_scan_fraction(spark, tmp_path):
     assert len(brute) > 100, "fixture must contain real near-dup structure"
     pruned = {
         (r["id_a"], r["id_b"])
-        for r in S.near_dup_pairs_pruned(spark, sf_dir, threshold=0.8).collect()
+        for r in S.near_dup_pairs(spark, sf_dir).collect()
     }
     assert pruned <= brute  # precision exact by construction
     recall = len(pruned & brute) / len(brute)
@@ -149,7 +155,7 @@ def test_pruned_regime_recall_and_scan_fraction(spark, tmp_path):
     # multi-probe: strictly more candidates, recall at least as high
     multi = {
         (r["id_a"], r["id_b"])
-        for r in S.near_dup_pairs_pruned(spark, sf_dir, threshold=0.8, multiprobe=True).collect()
+        for r in S.near_dup_pairs(spark, sf_dir, multiprobe=True).collect()
     }
     assert pruned <= multi <= brute
     assert len(multi & brute) / len(brute) >= recall
@@ -158,3 +164,21 @@ def test_pruned_regime_recall_and_scan_fraction(spark, tmp_path):
 def test_pruned_no_cartesian(spark):
     assert_no_cartesian(S.near_dup_pairs_pruned(spark, SF))
     assert_no_cartesian(S.near_dup_pairs_multiprobe(spark, SF))
+
+
+def test_band_codes_reject_missing_vec_id(spark):
+    """ADVICE (round 3): the band-code builders' input contract is a
+    ``vec_id``-keyed frame (``id_col`` names only the OUTPUT column) —
+    a frame keyed differently must fail loudly, not resolve a stray
+    same-named column."""
+    import pytest
+
+    other = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .limit(1)
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    with pytest.raises(AssertionError):
+        S._band_codes(other, "doc_id")
+    with pytest.raises(AssertionError):
+        S._band_codes_hof(other, "doc_id")
