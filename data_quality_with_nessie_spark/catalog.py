@@ -198,12 +198,16 @@ class LocalCatalog:
                     out[row["bucket"]] = row
         return out
 
-    def buckets_with_sig_state(self) -> set[int]:
+    def buckets_with_sig_state(self, family: str = "md5") -> set[int]:
         """Buckets whose latest commit published near-dup state
-        (signatures + edges) alongside the data — the precondition for
-        the incremental near-dup path (``pipeline.run(near_dup=True)``)."""
+        (signatures + edges) OF THE GIVEN FAMILY alongside the data —
+        the precondition for the incremental near-dup path
+        (``pipeline.run(near_dup=True)``). Rows committed before the
+        family field existed are md5 (the only family then)."""
         return {
-            b for b, row in self.lineage_by_bucket().items() if row.get("sig_state")
+            b
+            for b, row in self.lineage_by_bucket().items()
+            if row.get("sig_state") and (row.get("sig_family") or "md5") == family
         }
 
     def invalidate_buckets(self, buckets: set[int]) -> None:
@@ -390,6 +394,10 @@ class LocalCatalog:
                     # otherwise, so older-format rows are merely slow,
                     # never wrong)
                     "sig_state": bool(e.get("sig_state", False)),
+                    # which signature family the bucket's state carries
+                    # (md5 spec vs int64 kernel) — incremental runs join
+                    # only same-family state (null when sig_state=False)
+                    "sig_family": e.get("sig_family"),
                     **file_lists,
                 }
             )
@@ -405,6 +413,7 @@ class LocalCatalog:
                 pa.field("started_at", pa.timestamp("us")),
                 pa.field("committed_at", pa.timestamp("us")),
                 pa.field("sig_state", pa.bool_()),
+                pa.field("sig_family", pa.string()),
             ]
             + [pa.field(f"{t}_files", pa.list_(pa.string())) for t in DATA_TABLES]
         )

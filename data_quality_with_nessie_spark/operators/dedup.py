@@ -163,62 +163,87 @@ def lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs_frame(_docs(spark, sf_dir))
 
 
-def cluster_frame(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over an undirected pair list → one keeper per
     cluster: ``(cluster_id, doc_id, is_keeper)``.
 
-    Iterative min-label propagation (the GraphX/large-scale-CC shape,
-    no graph library needed): each round every node adopts the minimum
-    label among itself and its neighbors; converges in O(component
-    diameter) rounds — near-dup clusters are shallow (mostly pairs and
-    small stars), so 2-4 rounds in practice. ``localCheckpoint`` cuts
-    the lineage per round so the plan does not grow with iterations.
-    The per-round convergence count is a driver-side scalar action, not
-    a collect of data.
+    Round 4: large-star/small-star POINTER JUMPING (the
+    MapReduce-connectivity shape: alternate "hang every larger neighbor
+    off the neighborhood minimum" with "relink all smaller neighbors of
+    each node to their minimum") replaces round 3's min-label
+    propagation. Convergence is O(log n) ROUNDS regardless of component
+    diameter, vs O(diameter) for propagation — a >25-deep chain (long
+    incremental version chains are a real near-dup topology) used to
+    abort the run; now a diameter-1000 chain converges in ~10 rounds
+    (pinned in tests/test_near_dup_pipeline.py). Each round shuffles
+    only the shrinking (hi, lo) edge list keyed on 8-byte ids;
+    ``localCheckpoint`` cuts lineage per round; the convergence check is
+    one scalar aggregate (count + xor of pair hashes) per round, never a
+    collect of data. ``max_iter`` is a safety net (2^50-node scale),
+    exceeded only by a logic bug — exposed through
+    ``pipeline.run(cluster_max_iter=...)`` so production can widen it
+    without an edit (round-3 ADVICE).
     """
-    und = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    und = und.persist()
-    labels = (
-        und.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
-    ).localCheckpoint()
-    changed = 0
-    try:
-        for _ in range(max_iter):
-            nbr = (
-                und.join(labels, und["src"] == labels["doc_id"])
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.min("label").alias("nbr_min"))
-            )
-            new = (
-                labels.select("doc_id", F.col("label").alias("old_label"))
-                .join(nbr, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    "old_label",
-                    F.least(F.col("old_label"), F.coalesce("nbr_min", F.col("old_label"))).alias(
-                        "label"
-                    ),
-                )
-            ).localCheckpoint()
-            changed = new.filter(F.col("label") != F.col("old_label")).count()
-            labels = new.select("doc_id", "label")
-            if changed == 0:
-                break
-    finally:
-        und.unpersist()
-    if changed:
-        # a component with diameter > max_iter would be silently split
-        # into several clusters (keeping several near-identical copies) —
-        # refuse rather than diverge from the union-find labeler twin.
-        # Near-dup clusters are shallow in practice; a corpus that trips
-        # this needs a pointer-jumping (large-star/small-star) variant.
-        raise RuntimeError(
-            f"cluster_frame did not converge within max_iter={max_iter} "
-            f"rounds ({changed} labels still changing); raise max_iter"
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
         )
-    return labels.select(
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev: tuple | None = None
+    converged = False
+    for _ in range(max_iter):
+        # large-star: for each node u, every STRICTLY LARGER neighbor v
+        # re-hangs onto m(u) = min(Γ(u) ∪ {u}) — tall trees flatten
+        adj = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star: group by the larger endpoint; its smaller
+        # neighbors (and itself) all relink to their minimum
+        m_hi = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        e_self = m_hi.select("hi", F.col("m").alias("lo"))
+        e_small = (
+            large.join(m_hi, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        e = e_self.unionByName(e_small).distinct().localCheckpoint()
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("x"),
+        ).collect()[0]
+        cur = (sig_row["n"], sig_row["x"])
+        if cur == prev:
+            # fixpoint of small∘large = disjoint stars rooted at each
+            # component's minimum id (both steps preserve connectivity
+            # and only lower parent pointers)
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        # refuse rather than silently split a component (keeping several
+        # near-identical copies); at O(log n) rounds this fires only on
+        # a logic bug, never on a deep-but-finite topology.
+        raise RuntimeError(
+            f"cluster_frame did not converge within max_iter={max_iter} rounds"
+        )
+    children = e.select(F.col("hi").alias("doc_id"), F.col("lo").alias("label"))
+    roots = e.select(F.col("lo").alias("doc_id"), F.col("lo").alias("label")).distinct()
+    return children.unionByName(roots).select(
         F.col("label").alias("cluster_id"),
         "doc_id",
         (F.col("doc_id") == F.col("label")).alias("is_keeper"),
@@ -276,6 +301,7 @@ def near_dup_drop_ids(
     threshold: float = JACCARD_THRESHOLD,
     use_kernel: bool = False,
     committed_ids: DataFrame | None = None,
+    cluster_max_iter: int = 50,
 ) -> DataFrame:
     """Near-duplicate NON-keepers of a pipeline input frame, as one
     column of ``doc_id`` = :func:`~...functions.columns.doc_key_id`.
@@ -312,7 +338,9 @@ def near_dup_drop_ids(
         from .dedup_kernel import kernel_candidate_pairs_frame
 
         candidates = kernel_candidate_pairs_frame(docs)
-    clusters = cluster_frame(verified_pairs_frame(docs, threshold, candidates))
+    clusters = cluster_frame(
+        verified_pairs_frame(docs, threshold, candidates), max_iter=cluster_max_iter
+    )
     return rank_drop_ids(clusters, committed_ids)
 
 
@@ -334,28 +362,35 @@ def rank_drop_ids(clusters: DataFrame, committed_ids: DataFrame | None) -> DataF
     return ranked.filter((F.col("_rn") > 1) & ~F.col("committed")).select("doc_id")
 
 
-def sig_self_pairs(sig: DataFrame) -> DataFrame:
+def sig_self_pairs(sig: DataFrame, key: str = "minhash") -> DataFrame:
     """Candidate pairs among one signature frame: equi-join on
-    (band, minhash), normalized ``doc_a < doc_b``."""
+    (band, ``key``), normalized ``doc_a < doc_b``. ``key`` is the
+    signature-family column: ``minhash`` (md5 spec) or ``band_sig``
+    (int64 kernel — 8-byte join keys, no shingle shuffle to produce)."""
     a, b = sig.alias("a"), sig.alias("b")
     return (
-        a.join(b, ["band", "minhash"])
+        a.join(b, ["band", key])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
 
-def sig_cross_pairs(sig_new: DataFrame, sig_old: DataFrame) -> DataFrame:
+def sig_cross_pairs(
+    sig_new: DataFrame, sig_old: DataFrame, key: str = "minhash"
+) -> DataFrame:
     """Candidate pairs between pending and committed signature frames —
     the incremental near-dup join: pending docs collide with the
     COMMITTED corpus through its persisted band signatures (catalog
     ``signatures`` table), so no committed doc is ever re-shingled to
     generate candidates. Pair order normalized by id (ids are hashes;
-    pending ids interleave with committed ones)."""
+    pending ids interleave with committed ones). ``key`` selects the
+    signature family (see :func:`sig_self_pairs`); both frames must
+    carry the SAME family — the pipeline guarantees it by checking the
+    manifest's ``sig_family`` before taking the incremental path."""
     n, o = sig_new.alias("n"), sig_old.alias("o")
     return (
-        n.join(o, ["band", "minhash"])
+        n.join(o, ["band", key])
         .filter(F.col("n.doc_id") != F.col("o.doc_id"))
         .select(
             F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),

@@ -109,7 +109,10 @@ def parse_wav_duration_ms(payload: bytes | None) -> int | None:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-        if cid == b"fmt " and pos + 20 <= len(payload):
+        # the byte-rate field exists only if the fmt chunk DECLARES ≥16
+        # bytes — a malformed shorter fmt chunk must not read into the
+        # next chunk's bytes (round-3 ADVICE)
+        if cid == b"fmt " and size >= 16 and pos + 20 <= len(payload):
             byte_rate = int.from_bytes(payload[pos + 16 : pos + 20], "little")
         elif cid == b"data":
             data_size = size

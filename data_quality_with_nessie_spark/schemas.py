@@ -69,14 +69,22 @@ METRICS = T.StructType(
 # Near-dup incremental state, committed per bucket with the data (round 3).
 # SIGNATURES: one row per (doc, band) — the MinHash band signature of every
 # classified row, so later runs candidate-join pending docs against the
-# committed corpus instead of re-shingling it (the md5 spec of
-# ``operators/dedup.py:minhash_signature_frame``; ~8 small rows per doc vs
-# re-reading the doc's content every run).
+# committed corpus instead of re-shingling it (~8 small rows per doc vs
+# re-reading the doc's content every run). Two signature FAMILIES share
+# the table, recorded per bucket in the manifest's ``sig_family``:
+# * ``md5``    — ``minhash`` set (32-hex string; the SQL-oracled spec of
+#   ``operators/dedup.py:minhash_signature_frame``), ``band_sig`` null;
+# * ``kernel64`` — ``band_sig`` set (int64 from the zero-shuffle
+#   ``operators/dedup_kernel.py:minhash_bands_frame``; 8 bytes/row vs 32,
+#   and no shingle-stream shuffle to generate), ``minhash`` null.
+# A run candidate-joins only against state of its own family; mixed
+# catalogs fall back to the full recompute (slow, never wrong).
 SIGNATURES = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("band", T.IntegerType(), False),
         T.StructField("minhash", T.StringType(), True),
+        T.StructField("band_sig", T.LongType(), True),
         T.StructField("bucket", T.IntegerType(), False),
     ]
 )

@@ -50,6 +50,14 @@ def streaming_quality_filter(
     kept in an earlier epoch is therefore quarantined, with the
     committed original keeping keeper-ship — streaming state the
     reference's sensor-DAG chain has no analog for.
+
+    PRECONDITION for the cross-epoch guarantee: every committed bucket
+    must carry signature state (true when all prior epochs ran with
+    ``near_dup=True``). If earlier epochs committed WITHOUT it, the
+    pre-pass falls back to "full" mode — which in a micro-batch sees
+    only the CURRENT epoch's rows, so cross-epoch twins of those old
+    buckets are missed until they are invalidated/recommitted. The
+    fallback is logged per batch (round-3 ADVICE).
     """
     stream = (
         spark.readStream.schema(SOURCE_FILES)
@@ -64,7 +72,7 @@ def streaming_quality_filter(
         # [epoch·N, (epoch+1)·N), so a RE-DELIVERED epoch (crash between
         # commit and checkpoint) resumes: its committed buckets are
         # skipped by the anti-filter — exactly-once end to end.
-        batch_run(
+        summary = batch_run(
             spark,
             batch_df,
             catalog,
@@ -72,6 +80,19 @@ def streaming_quality_filter(
             bucket_offset=int(epoch_id) * n_buckets,
             near_dup=near_dup,
         )
+        if (
+            near_dup
+            and summary["near_dup_mode"] == "full"
+            and catalog.committed_buckets(spark) - set(summary["buckets_processed"])
+        ):
+            # full mode in a micro-batch = current epoch only; committed
+            # buckets without signature state are invisible to it
+            print(
+                "WARN streaming near-dup fell back to full mode with "
+                "committed buckets present: cross-epoch twins of buckets "
+                "lacking sig_state are NOT deduplicated this batch "
+                f"(epoch {epoch_id})"
+            )
 
     return (
         stream.writeStream.foreachBatch(_commit)

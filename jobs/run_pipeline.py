@@ -50,6 +50,22 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "signature state would allow the incremental path",
     )
     p.add_argument(
+        "--near-dup-kernel",
+        action="store_true",
+        help="generate near-dup signatures with the zero-shuffle int64 "
+        "kernel (the scale path) instead of the md5/explode spec; "
+        "signature state is family-tagged, so switching on an existing "
+        "catalog falls back to a full recompute once",
+    )
+    p.add_argument(
+        "--cluster-max-iter",
+        type=int,
+        default=50,
+        help="max pointer-jumping rounds for near-dup connected "
+        "components (O(log n) convergence; the default covers any "
+        "physical corpus)",
+    )
+    p.add_argument(
         "--commit-group-size",
         type=int,
         default=0,
@@ -113,6 +129,8 @@ def main(argv: list[str] | None = None) -> dict:
         n_buckets=n_buckets,
         near_dup=args.near_dup,
         near_dup_incremental=not args.near_dup_full,
+        near_dup_use_kernel=args.near_dup_kernel,
+        cluster_max_iter=args.cluster_max_iter,
         staged_write=not args.persist_cache,
         commit_group_size=group_size,
     )

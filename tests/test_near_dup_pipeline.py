@@ -309,3 +309,111 @@ def test_cluster_frame_matches_union_find(spark):
         for i in touched:
             assert got[i][0] == expected[i], f"trial {trial} node {i}"
             assert got[i][1] == (i == expected[i]), f"trial {trial} keeper {i}"
+
+
+def test_incremental_near_dup_kernel_path(spark, input_pdf, tmp_path):
+    """Round-3 VERDICT item 3: the production pre-pass can generate
+    signatures with the ZERO-SHUFFLE int64 kernel. (a) signature
+    generation has no explode and no exchange in its plan; (b) the
+    committed ``signatures`` table carries the int64 family; (c) the
+    incremental second run is byte-identical to a forced full recompute
+    under the same family."""
+    from data_quality_with_nessie_spark.operators.dedup_kernel import (
+        minhash_bands_frame,
+    )
+    from data_quality_with_nessie_spark.plans import physical_plan
+
+    # (a) plan shape: one narrow mapInArrow stage, zero shuffle/explode
+    docs = spark.createDataFrame(
+        [(1, "some document text for signing")], "doc_id long, text string"
+    )
+    plan = physical_plan(minhash_bands_frame(docs))
+    assert "Generate" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+    base = input_pdf.head(300).copy()
+    sdf = spark.createDataFrame(base, schema=SOURCE_FILES)
+    cat_inc = LocalCatalog(str(tmp_path / "inc"))
+    cat_full = LocalCatalog(str(tmp_path / "full"))
+    for cat in (cat_inc, cat_full):
+        s = run(spark, sdf, cat, n_buckets=8, near_dup=True, near_dup_use_kernel=True)
+        assert s["near_dup_mode"] == "full"
+
+    # (b) committed state is the int64 family
+    sig = cat_inc.read_table(spark, "signatures").toPandas()
+    assert len(sig) > 0
+    assert sig["band_sig"].notna().all()
+    assert sig["minhash"].isna().all()
+    assert cat_inc.buckets_with_sig_state("kernel64") == cat_inc.committed_buckets(spark)
+    assert cat_inc.buckets_with_sig_state("md5") == set()
+
+    twins = _twins_of_kept(spark, cat_inc, base, "\nkernel_twin = 1\n")
+    grown_pdf = pd.concat([base, twins], ignore_index=True)
+    grown = spark.createDataFrame(grown_pdf, schema=SOURCE_FILES)
+
+    s_inc = run(spark, grown, cat_inc, n_buckets=8, near_dup=True, near_dup_use_kernel=True)
+    assert s_inc["near_dup_mode"] == "incremental"
+    s_full = run(
+        spark,
+        grown,
+        cat_full,
+        n_buckets=8,
+        near_dup=True,
+        near_dup_use_kernel=True,
+        near_dup_incremental=False,
+    )
+    assert s_full["near_dup_mode"] == "full"
+
+    sort_cols = ["repo", "path", "commit"]
+    kept_inc = cat_inc.read_table(spark, "kept").toPandas().sort_values(sort_cols).reset_index(drop=True)
+    kept_full = cat_full.read_table(spark, "kept").toPandas().sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(kept_inc, kept_full)
+    q_inc = cat_inc.read_table(spark, "quarantine").toPandas()
+    q_full = cat_full.read_table(spark, "quarantine").toPandas()
+    q_inc["rejection_reasons"] = q_inc["rejection_reasons"].map(tuple)
+    q_full["rejection_reasons"] = q_full["rejection_reasons"].map(tuple)
+    pd.testing.assert_frame_equal(
+        q_inc.sort_values(sort_cols).reset_index(drop=True),
+        q_full.sort_values(sort_cols).reset_index(drop=True),
+    )
+    # the planted twins are still caught (kernel recall on true twins)
+    nd_paths = set(
+        q_inc[q_inc["rejection_reasons"].map(lambda r: "near_dup" in r)]["path"]
+    )
+    kept_paths = set(kept_inc["path"])
+    for _, row in twins.iterrows():
+        assert row["path"][len("incrtwin/") :] in kept_paths
+        assert row["path"] in nd_paths
+
+
+def test_family_switch_falls_back_to_full(spark, input_pdf, tmp_path):
+    """A catalog committed under the md5 family, re-run with the kernel
+    family (or vice versa), must FALL BACK to the full recompute — the
+    families' signatures are mutually meaningless, and joining across
+    them would silently find nothing."""
+    base = input_pdf.head(150).copy()
+    cat = LocalCatalog(str(tmp_path))
+    run(spark, spark.createDataFrame(base, schema=SOURCE_FILES), cat, n_buckets=6, near_dup=True)
+    assert cat.buckets_with_sig_state("md5") == cat.committed_buckets(spark)
+
+    twins = _twins_of_kept(spark, cat, base, "\nswitch_twin = 1\n")
+    grown = spark.createDataFrame(pd.concat([base, twins], ignore_index=True), schema=SOURCE_FILES)
+    s = run(spark, grown, cat, n_buckets=6, near_dup=True, near_dup_use_kernel=True)
+    assert s["near_dup_mode"] == "full"
+
+
+def test_cluster_frame_deep_chain(spark):
+    """A chain of diameter 200 (long incremental version chains are a
+    real near-dup topology) converges — pointer jumping is O(log n)
+    rounds; round 3's O(diameter) label propagation RAISED here at its
+    25-round cap."""
+    from data_quality_with_nessie_spark.operators.dedup import cluster_frame
+
+    n = 200
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in cluster_frame(edf).collect()}
+    assert set(got) == set(range(n + 1))
+    for i in range(n + 1):
+        assert got[i] == (0, i == 0)
