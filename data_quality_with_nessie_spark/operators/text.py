@@ -140,25 +140,123 @@ CONTAMINATION_PROBES: tuple[str, ...] = (
 )
 
 
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+# probe-count threshold above which the chained-contains scan (one
+# C-level pass PER probe) loses to a single Aho-Corasick pass
+AC_PROBE_THRESHOLD = 32
+
+
+def _aho_corasick_build(probes: tuple[str, ...]):
+    """Byte-level Aho-Corasick automaton: (goto, fail, out) where
+    ``out[state]`` is the frozenset of probe indices ending at state.
+    Pure stdlib — no new dependencies."""
+    goto: list[dict[int, int]] = [{}]
+    out: list[set[int]] = [set()]
+    for idx, p in enumerate(probes):
+        s = 0
+        for b in p.encode("utf-8"):
+            nxt = goto[s].get(b)
+            if nxt is None:
+                goto.append({})
+                out.append(set())
+                nxt = len(goto) - 1
+                goto[s][b] = nxt
+            s = nxt
+        out[s].add(idx)
+    # BFS fail links
+    from collections import deque
+
+    fail = [0] * len(goto)
+    q = deque(goto[0].values())  # depth-1 nodes: fail = root
+    while q:
+        s = q.popleft()
+        for b, t in goto[s].items():
+            q.append(t)
+            f = fail[s]
+            while f and b not in goto[f]:
+                f = fail[f]
+            # the candidate is strictly shallower than t, never t itself
+            fail[t] = goto[f].get(b, 0)
+            out[t] |= out[fail[t]]
+    return goto, fail, out
+
+
+def contamination_hits_ac(texts, probes: tuple[str, ...]):
+    """Per-text count of DISTINCT probes present (same semantics as one
+    ``contains`` per probe), via one Aho-Corasick pass over the utf-8
+    bytes. Shared by the Spark mapInArrow stage and its pandas twin."""
+    goto, fail, out = _aho_corasick_build(probes)
+    counts = []
+    for t in texts:
+        seen: set[int] = set()
+        s = 0
+        for b in ("" if t is None else t).encode("utf-8"):
+            while s and b not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(b, 0)
+            if out[s]:
+                seen |= out[s]
+                if len(seen) == len(probes):
+                    break
+        counts.append(len(seen))
+    return counts
+
+
+def contamination_check(
+    spark: SparkSession,
+    sf_dir: str,
+    probes: tuple[str, ...] = CONTAMINATION_PROBES,
+) -> DataFrame:
     """Eval-set contamination screen: flag docs containing any probe
     n-gram from a benchmark list — the filter every training-data
     pipeline runs before a corpus ships (leaked eval strings poison the
-    benchmark). Native ``contains`` per probe keeps the scan one
-    codegen'd pass; at real probe-list sizes (10^4+ needles) swap the
-    inner loop for an Aho-Corasick pass inside the existing mapInArrow
-    stage — the plumbing (one scan, per-doc hit counts) is identical."""
+    benchmark).
+
+    Two regimes by probe count (round-3 VERDICT item 6): below
+    ``AC_PROBE_THRESHOLD`` the chained native ``contains`` keeps the
+    scan one codegen'd pass (a C-level substring search per probe); at
+    real probe-list sizes (10^3+ needles, where per-probe passes are
+    O(n·probes)) ONE Aho-Corasick pass inside a mapInArrow stage scans
+    each doc once regardless of probe count. Agreement of the two paths
+    is pinned at 1000 probes in tests/test_rules.py."""
     docs = _docs(spark, sf_dir)
-    text = F.coalesce(F.col("text"), F.lit(""))
-    n_hits = None
-    for p in CONTAMINATION_PROBES:
-        term = text.contains(F.lit(p)).cast("int")
-        n_hits = term if n_hits is None else n_hits + term
-    return docs.select(
-        "doc_id",
-        n_hits.cast("long").alias("n_probe_hits"),
-        (n_hits > 0).alias("contaminated"),
+    if len(probes) <= AC_PROBE_THRESHOLD:
+        text = F.coalesce(F.col("text"), F.lit(""))
+        n_hits = None
+        for p in probes:
+            term = text.contains(F.lit(p)).cast("int")
+            n_hits = term if n_hits is None else n_hits + term
+        return docs.select(
+            "doc_id",
+            n_hits.cast("long").alias("n_probe_hits"),
+            (n_hits > 0).alias("contaminated"),
+        )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_probe_hits", T.LongType(), False),
+            T.StructField("contaminated", T.BooleanType(), False),
+        ]
     )
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            counts = np.asarray(
+                contamination_hits_ac(batch.column(1).to_pylist(), probes),
+                dtype=np.int64,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(counts), pa.array(counts > 0)],
+                names=["doc_id", "n_probe_hits", "contaminated"],
+            )
+
+    return docs.select(F.col("doc_id").cast("long"), "text").mapInArrow(gen, schema)
 
 
 # per-language keep rates as hex-prefix thresholds over md5 (x/256):
@@ -246,15 +344,30 @@ def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def length_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
     """Per-language char/token length quantiles — the corpus-profiling
     aggregate behind length-based filter thresholds (the reference tunes
     its range rules by eyeballing; this computes the distribution).
 
-    Uses EXACT ``percentile`` (interpolated, identical math to DuckDB's
-    ``quantile_cont``) — at 100 TB swap for ``approx_percentile`` with a
-    documented accuracy budget; exactness here keeps the oracle exact.
-    One partial-aggregated pass, grouped on the low-cardinality lang key.
+    Default EXACT ``percentile`` (interpolated, identical math to
+    DuckDB's ``quantile_cont``) keeps the oracle exact — but it holds
+    every group's values in aggregation memory, which does not survive
+    100 TB. ``approx=True`` is the scale path (round-3 VERDICT item 7):
+    ``approx_percentile`` (Greenwald-Khanna) with a STATED accuracy
+    budget — rank error ≤ n/``accuracy`` per group (default 1/10000 of
+    each group's rows), state O(accuracy·log n) per group instead of
+    O(n). The returned quantile is then an ACTUAL sample value whose
+    rank is within the budget — no interpolation — so values can differ
+    from the exact form by the data's local spacing at that rank; the
+    error bound is pinned in tests/test_rules.py and the sf0.1 cost of
+    both forms is recorded in BENCH/NOTES.md.
+    One partial-aggregated pass either way, grouped on the
+    low-cardinality lang key.
     """
     docs = _docs(spark, sf_dir)
     base = docs.select(
@@ -263,20 +376,23 @@ def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_tokens(F.col("text"))).alias("n_tokens"),
     )
     qs = "array(0.5, 0.9, 0.99)"
+    fn = f"approx_percentile({{}}, {qs}, {int(accuracy)})" if approx else f"percentile({{}}, {qs})"
     agg = base.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.expr(f"percentile(n_chars, {qs})").alias("qc"),
-        F.expr(f"percentile(n_tokens, {qs})").alias("qt"),
+        F.expr(fn.format("n_chars")).alias("qc"),
+        F.expr(fn.format("n_tokens")).alias("qt"),
     )
+    # cast unifies the two forms' schemas (approx_percentile over ints
+    # returns ints; exact percentile returns interpolated doubles)
     return agg.select(
         "lang",
         "n_docs",
-        F.round(F.col("qc")[0], 4).alias("chars_p50"),
-        F.round(F.col("qc")[1], 4).alias("chars_p90"),
-        F.round(F.col("qc")[2], 4).alias("chars_p99"),
-        F.round(F.col("qt")[0], 4).alias("tokens_p50"),
-        F.round(F.col("qt")[1], 4).alias("tokens_p90"),
-        F.round(F.col("qt")[2], 4).alias("tokens_p99"),
+        F.round(F.col("qc")[0].cast("double"), 4).alias("chars_p50"),
+        F.round(F.col("qc")[1].cast("double"), 4).alias("chars_p90"),
+        F.round(F.col("qc")[2].cast("double"), 4).alias("chars_p99"),
+        F.round(F.col("qt")[0].cast("double"), 4).alias("tokens_p50"),
+        F.round(F.col("qt")[1].cast("double"), 4).alias("tokens_p90"),
+        F.round(F.col("qt")[2].cast("double"), 4).alias("tokens_p99"),
     )
 
 
