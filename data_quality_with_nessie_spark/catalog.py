@@ -31,12 +31,28 @@ On a real lakehouse this maps 1:1 onto Iceberg branch + fast-forward
 (reference catalog config to replicate:
 ``spark-container/modules/SparkIcebergNessieMinIO/CustomSparkConfig.py:29-41``).
 
-SINGLE-WRITER CONTRACT: one pipeline job per catalog root at a time
-(the north_rule deployment shape — one spark-submit job). Concurrent
-writers would race rollback_uncommitted's staging purge and the
-manifest namespace (collisions are ``assert``ed, not resolved); Nessie's
-optimistic multi-branch commits are the real-lakehouse answer, and the
-shim's branch→stage→publish structure maps onto them without API change.
+CONCURRENT WRITERS (round 4; previously a single-writer contract):
+safe-if-slow, the Nessie optimistic-merge semantic
+(``merge_into_main.py:15``) rather than a lock:
+
+* every published name embeds the writer's unique ``run_id``, so two
+  writers can never collide on a data file or manifest name;
+* two writers committing the SAME bucket both succeed; readers resolve
+  latest-manifest-per-bucket, so exactly one (deterministic, identical
+  content — classification is pure) version is visible and the loser's
+  files are GC'd as orphans later;
+* each staging dir carries an ``owner.json`` (pid), created atomically
+  (tmp dir → rename); ``rollback_uncommitted`` purges only staging dirs
+  whose owner is DEAD (or its own pid — one run at a time per process),
+  and while any FOREIGN LIVE writer exists it skips the orphan GC
+  entirely — a file that writer just published but has not yet
+  manifested is indistinguishable from an orphan, so GC defers until
+  the catalog is quiet (orphans are reader-invisible either way).
+
+Pid liveness is per-host (os.kill(pid, 0)); on a real lakehouse the
+same branch→stage→publish structure maps onto Nessie's multi-branch
+commits, which replace the pid check with CAS on the catalog server.
+``compact_state`` remains an out-of-band, one-at-a-time operation.
 """
 
 from __future__ import annotations
@@ -64,6 +80,25 @@ EDGES = "edges"
 # every bucket-partitioned data table the manifest protocol manages
 DATA_TABLES = (KEPT, QUARANTINE, SIGNATURES, EDGES)
 
+# one lineage row per bucket commit (shared by commit_group and
+# compact_state's manifest rewrite)
+_MANIFEST_SCHEMA = pa.schema(
+    [
+        pa.field("bucket", pa.int32()),
+        pa.field("branch", pa.string()),
+        pa.field("commit_ref", pa.string()),
+        pa.field("rows_in", pa.int64()),
+        pa.field("rows_out", pa.int64()),
+        pa.field("keys_xor", pa.int64()),
+        pa.field("rule_hits", pa.map_(pa.string(), pa.int64())),
+        pa.field("started_at", pa.timestamp("us")),
+        pa.field("committed_at", pa.timestamp("us")),
+        pa.field("sig_state", pa.bool_()),
+        pa.field("sig_family", pa.string()),
+    ]
+    + [pa.field(f"{t}_files", pa.list_(pa.string())) for t in DATA_TABLES]
+)
+
 
 class LocalCatalog:
     """Parquet+manifest table layout rooted at ``root``."""
@@ -75,10 +110,39 @@ class LocalCatalog:
 
     # ---- branch lifecycle ------------------------------------------------
     def create_branch(self) -> str:
-        """New isolated staging area; returns the branch (run) id."""
+        """New isolated staging area; returns the branch (run) id.
+
+        The dir appears ATOMICALLY with its ``owner.json`` inside (tmp
+        dir → rename), so a concurrent writer's rollback never observes
+        an ownerless live staging dir and purges it mid-create."""
         run_id = "run-" + uuid.uuid4().hex[:12]
-        os.makedirs(os.path.join(self.root, "staging", run_id), exist_ok=True)
+        tmp = os.path.join(self.root, "staging", f".{run_id}.tmp")
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "owner.json"), "w") as fh:
+            json.dump({"pid": os.getpid()}, fh)
+        os.rename(tmp, os.path.join(self.root, "staging", run_id))
         return run_id
+
+    @staticmethod
+    def _foreign_live_owner(stage_dir: str) -> bool:
+        """True iff the staging dir belongs to a DIFFERENT, still-alive
+        process. Unreadable/absent owner files mean a dead or pre-format
+        run; our own pid means a finished earlier run of this process
+        (one run at a time per process)."""
+        try:
+            with open(os.path.join(stage_dir, "owner.json")) as fh:
+                pid = int(json.load(fh)["pid"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return False
+        if pid == os.getpid():
+            return False
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:  # pragma: no cover — alive, other user
+            return True
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.root, "staging", run_id)
@@ -268,18 +332,31 @@ class LocalCatalog:
     def rollback_uncommitted(self) -> list[int]:
         """Garbage-collect data files no manifest references (orphans from
         crashed commits — already invisible to readers), and purge staging
-        dirs left by dead runs. Single-writer protocol: this is called at
-        run start, so every existing staging dir belongs to a run that is
-        no longer alive (clean completion drops its own branch) — without
-        this purge, crash-resume cycles leak staged data forever.
+        dirs left by DEAD runs (clean completion drops its own branch) —
+        without this purge, crash-resume cycles leak staged data forever.
+
+        Concurrent-writer safety (round 4): a staging dir owned by a
+        foreign LIVE process is left alone, and its presence suspends
+        the orphan GC for this call — a data file that writer published
+        but has not yet manifested (the mid-commit window) looks exactly
+        like an orphan, and deleting it would corrupt the writer's
+        imminent manifest. Orphans are reader-invisible, so deferring
+        their GC until the catalog is quiet costs only disk.
 
         Scale note: this walks every data file (O(files), driver-side).
         Because readers never see orphans, GC is housekeeping, not
         correctness — at large file counts run it out-of-band / rarely
         (the Iceberg backend's expire-snapshots/orphan-removal role)."""
         sdir = os.path.join(self.root, "staging")
+        foreign_live = False
         for entry in os.listdir(sdir):
-            shutil.rmtree(os.path.join(sdir, entry), ignore_errors=True)
+            path = os.path.join(sdir, entry)
+            if self._foreign_live_owner(path):
+                foreign_live = True
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+        if foreign_live:
+            return []
         live: set[str] = set()
         for row in self.lineage_by_bucket().values():
             for table in DATA_TABLES:
@@ -401,24 +478,9 @@ class LocalCatalog:
                     **file_lists,
                 }
             )
-        schema = pa.schema(
-            [
-                pa.field("bucket", pa.int32()),
-                pa.field("branch", pa.string()),
-                pa.field("commit_ref", pa.string()),
-                pa.field("rows_in", pa.int64()),
-                pa.field("rows_out", pa.int64()),
-                pa.field("keys_xor", pa.int64()),
-                pa.field("rule_hits", pa.map_(pa.string(), pa.int64())),
-                pa.field("started_at", pa.timestamp("us")),
-                pa.field("committed_at", pa.timestamp("us")),
-                pa.field("sig_state", pa.bool_()),
-                pa.field("sig_family", pa.string()),
-            ]
-            + [pa.field(f"{t}_files", pa.list_(pa.string())) for t in DATA_TABLES]
-        )
         tbl = pa.Table.from_pylist(
-            [{**r, "rule_hits": list(r["rule_hits"].items())} for r in rows], schema=schema
+            [{**r, "rule_hits": list(r["rule_hits"].items())} for r in rows],
+            schema=_MANIFEST_SCHEMA,
         )
         # tmp → rename to a name that NEVER pre-exists (run_id is fresh):
         # on an object store this whole dance is a single PUT of `final`
@@ -439,11 +501,91 @@ class LocalCatalog:
         ``init_project.py:78``)."""
         shutil.rmtree(self.staging_dir(run_id), ignore_errors=True)
 
+    def compact_state(self, tables: tuple[str, ...] = (SIGNATURES, EDGES)) -> dict:
+        """Out-of-band compaction (Iceberg's rewrite-manifests +
+        compact-data-files role; round-3 VERDICT item 5): coalesce each
+        committed bucket's live fragments of the given state tables into
+        ONE file per (table, bucket), and rewrite ALL manifests into ONE
+        manifest file — without this, every epoch appends manifests
+        forever and the incremental near-dup pre-pass reads N
+        generations of ``signatures``/``edges`` fragments.
+
+        Crash-safe by the same ordering as commit: (1) compacted data
+        files land under fresh unique names (reader-invisible orphans
+        until published); (2) ONE new manifest with fresh
+        ``committed_at`` — latest-per-bucket resolution makes it
+        supersede every old row the instant it lands; (3) superseded
+        manifests, then superseded fragments, are deleted (a crash
+        before/among the deletions leaves only stale-but-superseded
+        manifests and unreferenced orphans — cleaned by the next
+        compaction / rollback GC, never a half state). ``commit_ref``,
+        ``sig_state``/``sig_family`` and lineage counts are PRESERVED —
+        edge liveness keys on (bucket, commit_ref), so compaction must
+        not mint new refs. Legacy (pre-manifest) rows pass through
+        untouched.
+
+        Driver-side pyarrow rewrite — state rows are ~100 bytes/doc; at
+        a scale where even that is too big for one node, run the same
+        two-phase protocol with a Spark job writing the compacted files.
+        Run it out-of-band (no concurrent compactions); a concurrent
+        PIPELINE writer is safe — its new manifests are never touched.
+        """
+        rows = sorted(self.lineage_by_bucket().values(), key=lambda r: r["bucket"])
+        if not rows:
+            return {"buckets": 0, "files_rewritten": 0, "manifests_before": 0}
+        old_manifests = list(self._committed_metric_files())
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        superseded: list[str] = []
+        n_rewritten = 0
+        out_rows = []
+        for row in rows:
+            row = dict(row)
+            if not self._is_legacy_row(row):
+                for table in tables:
+                    rels = row.get(f"{table}_files") or []
+                    if len(rels) <= 1:
+                        continue
+                    paths = [os.path.join(self.root, rel) for rel in rels]
+                    merged = pq.read_table(paths)
+                    bdir = os.path.join(self.root, table, f"bucket={row['bucket']}")
+                    unique = f"compact-{uuid.uuid4().hex[:12]}.parquet"
+                    pq.write_table(merged, os.path.join(bdir, unique))
+                    row[f"{table}_files"] = [
+                        os.path.join(table, f"bucket={row['bucket']}", unique)
+                    ]
+                    superseded.extend(paths)
+                    n_rewritten += len(rels)
+            row["committed_at"] = now
+            out_rows.append(row)
+        tbl = pa.Table.from_pylist(out_rows, schema=_MANIFEST_SCHEMA)
+        final = os.path.join(
+            self.root, METRICS, f"compact-{uuid.uuid4().hex[:12]}.parquet"
+        )
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.rename(tmp, final)  # ← the compaction commit point
+        for path in old_manifests:
+            if os.path.exists(path):
+                os.remove(path)
+        for path in superseded:
+            if os.path.exists(path):
+                os.remove(path)
+        return {
+            "buckets": len(out_rows),
+            "files_rewritten": n_rewritten,
+            "manifests_before": len(old_manifests),
+        }
+
     # ---- admin / introspection (reference branch+namespace DDL:
     # ``LIST REFERENCES`` merge_into_main.py:22, ``SHOW TABLES``
     # init_project.py:102, ``CREATE NAMESPACE`` init_project.py:70) ----
     def list_branches(self) -> list[str]:
-        return sorted(os.listdir(os.path.join(self.root, "staging")))
+        # dot-names are half-created staging dirs (create_branch's tmp)
+        return sorted(
+            d
+            for d in os.listdir(os.path.join(self.root, "staging"))
+            if not d.startswith(".")
+        )
 
     def list_tables(self) -> list[str]:
         return sorted(

@@ -106,3 +106,80 @@ def test_unmanifested_files_invisible_to_readers(spark, input_pdf, tmp_path):
         os.path.join(bucket_dir, src_file), os.path.join(bucket_dir, "rogue-orphan.parquet")
     )
     assert cat.read_table(spark, "kept").count() == before
+
+
+def test_compact_state_bounds_files(spark, input_pdf, tmp_path):
+    """Round-3 VERDICT item 5: after N epochs the catalog holds N
+    generations of manifests and state fragments; compact_state must
+    rewrite them to ONE manifest + ≤1 file per (state table, bucket)
+    with byte-identical reads, preserved commit refs (edge liveness),
+    and the incremental near-dup path still engaging afterwards."""
+    import pandas as pd
+
+    cat = LocalCatalog(str(tmp_path))
+    base = input_pdf.head(240).copy()
+    n_epochs = 6
+    for epoch in range(n_epochs):
+        chunk = base.iloc[epoch * 40 : (epoch + 1) * 40]
+        run(
+            spark,
+            spark.createDataFrame(chunk, schema=SOURCE_FILES),
+            cat,
+            n_buckets=4,
+            bucket_offset=epoch * 4,
+            near_dup=True,
+        )
+    tables = ("kept", "quarantine", "signatures", "edges")
+    before = {t: cat.read_table(spark, t).toPandas() for t in tables}
+    refs_before = {b: r["commit_ref"] for b, r in cat.lineage_by_bucket().items()}
+    n_manifests_before = len(cat._committed_metric_files())
+    assert n_manifests_before >= n_epochs
+    n_frag_before = sum(
+        len(r.get("signatures_files") or []) for r in cat.lineage_by_bucket().values()
+    )
+
+    summary = cat.compact_state()
+    assert summary["buckets"] == len(refs_before)
+
+    assert len(cat._committed_metric_files()) == 1
+    rows = cat.lineage_by_bucket()
+    assert {b: r["commit_ref"] for b, r in rows.items()} == refs_before
+    for r in rows.values():
+        assert len(r.get("signatures_files") or []) <= 1
+        assert len(r.get("edges_files") or []) <= 1
+        assert r.get("sig_state") is True
+    n_frag_after = sum(len(r.get("signatures_files") or []) for r in rows.values())
+    assert n_frag_after <= n_frag_before
+
+    for t in tables:
+        a = before[t]
+        b = cat.read_table(spark, t).toPandas()
+        sort_cols = [c for c in ("repo", "path", "commit", "doc_id", "band", "doc_a", "doc_b", "bucket") if c in a.columns]
+        for frame in (a, b):
+            if "rejection_reasons" in frame.columns:
+                frame["rejection_reasons"] = frame["rejection_reasons"].map(tuple)
+        pd.testing.assert_frame_equal(
+            a.sort_values(sort_cols).reset_index(drop=True).sort_index(axis=1),
+            b.sort_values(sort_cols).reset_index(drop=True).sort_index(axis=1),
+        )
+
+    # GC after compaction removes nothing live; reads unchanged
+    cat.rollback_uncommitted()
+    assert len(cat.read_table(spark, "kept").toPandas()) == len(before["kept"])
+
+    # the incremental near-dup path still engages on the compacted state
+    # (re-deliver the last epoch under its original bucket layout: pure
+    # resume — nothing reprocessed, incremental mode preserved)
+    last = spark.createDataFrame(
+        base.iloc[(n_epochs - 1) * 40 : n_epochs * 40], schema=SOURCE_FILES
+    )
+    s = run(
+        spark, last, cat, n_buckets=4, bucket_offset=(n_epochs - 1) * 4, near_dup=True
+    )
+    assert s["buckets_processed"] == []
+    assert s["near_dup_mode"] == "incremental"
+
+    # idempotent: a second compaction is a no-op rewrite
+    cat.compact_state()
+    assert len(cat._committed_metric_files()) == 1
+    assert len(cat.read_table(spark, "kept").toPandas()) == len(before["kept"])

@@ -1,0 +1,92 @@
+"""Concurrent-writer safety (round-3 VERDICT item 8): two pipeline
+processes on ONE catalog root must be safe-if-slow — the Nessie
+optimistic-merge semantic — instead of corrupting staging/manifests
+under the old single-writer contract."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from data_quality_with_nessie_spark.catalog import LocalCatalog
+
+KEYS = ["repo", "path", "commit"]
+
+
+def test_rollback_owner_liveness(tmp_path):
+    """Staging purge honors owners: own-pid dirs are purged (one run at
+    a time per process), foreign-LIVE dirs survive and suspend GC,
+    dead-owner dirs are purged."""
+    cat = LocalCatalog(str(tmp_path))
+
+    rid_own = cat.create_branch()  # owner = this pid
+    cat.rollback_uncommitted()
+    assert rid_own not in cat.list_branches()
+
+    rid_live = cat.create_branch()
+    with open(os.path.join(cat.staging_dir(rid_live), "owner.json"), "w") as fh:
+        json.dump({"pid": 1}, fh)  # pid 1 is always alive
+    cat.rollback_uncommitted()
+    assert rid_live in cat.list_branches()
+
+    with open(os.path.join(cat.staging_dir(rid_live), "owner.json"), "w") as fh:
+        json.dump({"pid": 2**22 + 12345}, fh)  # beyond default pid_max
+    cat.rollback_uncommitted()
+    assert rid_live not in cat.list_branches()
+
+
+def test_two_process_commit_race(spark, input_pdf, tmp_path):
+    """Two pipeline processes, same input, same catalog root, launched
+    concurrently: both must exit 0, every bucket ends committed exactly
+    once in reader terms, and kept+quarantine hold each input row
+    exactly once (duplicate commits resolve latest-per-bucket; the
+    loser's files are reader-invisible orphans)."""
+    pdf = input_pdf.head(400).copy()
+    inp = str(tmp_path / "input.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), inp)
+    out = str(tmp_path / "catalog")
+
+    env = {
+        **os.environ,
+        "PYTHONPATH": "/root/repo",
+        "SPARK_GRAFT_DRIVER_MEM": "4g",
+    }
+    cmd = [
+        sys.executable,
+        "/root/repo/jobs/run_pipeline.py",
+        "--input", inp,
+        "--output", out,
+        "--buckets", "8",
+        "--master", "local[4]",
+        "--shuffle-partitions", "8",
+    ]
+    procs = [
+        subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for _ in range(2)
+    ]
+    outputs = [p.communicate(timeout=420)[0].decode(errors="replace") for p in procs]
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, text[-3000:]
+
+    cat = LocalCatalog(out)
+    assert cat.committed_buckets(spark) == set(range(8))
+    lineage = cat.lineage_by_bucket()
+    assert sum(r["rows_in"] for r in lineage.values()) == len(pdf)
+
+    kept = cat.read_table(spark, "kept").toPandas()
+    quar = cat.read_table(spark, "quarantine").toPandas()
+    assert len(kept) + len(quar) == len(pdf)
+    keys = pd.concat([kept[KEYS], quar[KEYS]], ignore_index=True)
+    assert not keys.duplicated().any(), "a row is visible twice"
+    assert set(map(tuple, keys.to_numpy())) == set(map(tuple, pdf[KEYS].to_numpy()))
+
+    # a follow-up run in THIS process is a pure resume
+    from data_quality_with_nessie_spark.pipeline import run
+    from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+
+    s = run(spark, spark.createDataFrame(pdf, schema=SOURCE_FILES), cat, n_buckets=8)
+    assert s["buckets_processed"] == []
