@@ -320,6 +320,12 @@ def main() -> None:
             "of THIS run only (min-of-REPEATS-after-warmup inside each sample)"
         ),
         "this_run_pairs": pair_records,
+        # the most conservative view: the single worst QUIET pair's
+        # efficiency (the min-wall headline takes the most favorable
+        # pairing; round-3 VERDICT asked for both)
+        "min_efficiency_quiet_pair": (
+            min(p["efficiency"] for p in quiet) if quiet else None
+        ),
         "best_historical": best_hist,
         "history": history,
     }
@@ -359,6 +365,10 @@ level).
 | local[{hi}] (4N) | {results[hi]['sec']} | {results[hi]['files_per_sec']} |
 
 **speedup {lo}→{hi}: {speedup:.2f}× · scaling efficiency: {efficiency:.3f} (target ≥ 0.8) → {"PASS" if efficiency >= 0.8 else "BELOW TARGET this run"}**
+
+Most conservative single quiet pair: efficiency {summary["min_efficiency_quiet_pair"]}
+(the headline pairs min walls across pairs — the most favorable pairing;
+this number is the worst one actually-measured quiet pair).
 
 This headline is computed from THE CURRENT RUN ONLY ({quiet_note}).
 Per-pair samples with their measured neighbor load are in

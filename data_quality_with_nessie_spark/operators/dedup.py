@@ -193,6 +193,17 @@ def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # size the ITERATIVE jobs to the edge list, not the corpus: near-dup
+    # edge sets are a sliver of the input (rows/10^3..10^4), and running
+    # each round's ~6 stages at the session's corpus-scale shuffle
+    # partitioning is pure scheduler overhead (measured 2.8 s for 256
+    # edges at 32 partitions). ~100k edges per partition keeps a single
+    # partition through test/bench scales and still spreads a
+    # billion-edge corpus graph.
+    n_edges = e.count()
+    target = max(1, min(e.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    if target < e.rdd.getNumPartitions():
+        e = e.coalesce(target)  # narrow — no shuffle, parent is checkpointed
     prev: tuple | None = None
     converged = False
     for _ in range(max_iter):
@@ -206,11 +217,13 @@ def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", F.col("u")).alias("m"))
         )
+        # no intermediate distinct: the small-star min-agg is duplicate-
+        # insensitive and the final union distinct dedupes — one fewer
+        # shuffle per round
         large = (
             adj.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-            .distinct()
         )
         # small-star: group by the larger endpoint; its smaller
         # neighbors (and itself) all relink to their minimum
