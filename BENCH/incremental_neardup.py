@@ -16,7 +16,12 @@ reprocesses — measured 156 s vs 104 s full at 6k docs, i.e. WORSE. The
 bucket-offset epoch mechanism exists precisely so appends land in fresh
 buckets.)
 
-Usage: python BENCH/incremental_neardup.py [n_docs] [increment_fraction]
+Usage: python BENCH/incremental_neardup.py [n_docs] [increment_fraction] [--kernel]
+``--kernel`` runs the near-dup pre-pass under the zero-shuffle int64
+kernel family (round 4) — REQUIRED at 60k+ docs on this host: the
+md5/explode spec's shingle-stream shuffle spill exceeded the ~79 GB of
+local disk at 60k docs (measured; the no-space failure is recorded in
+NOTES.md as direct evidence for the kernel path at scale).
 Prints one JSON line; numbers recorded in BENCH/NOTES.md.
 """
 
@@ -46,12 +51,47 @@ def main() -> None:
     from data_quality_with_nessie_spark.schemas import SOURCE_FILES
     from data_quality_with_nessie_spark.session import get_spark
 
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.01
+    use_kernel = "--kernel" in sys.argv
+    tiles = 0
+    if "--tiled" in sys.argv:
+        tiles = int(sys.argv[sys.argv.index("--tiled") + 1])
+    args = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--") and sys.argv[i - 1] != "--tiled"
+    ]
+    n_docs = int(args[0]) if len(args) > 0 else 20000
+    frac = float(args[1]) if len(args) > 1 else 0.01
     n_inc = max(1, int(n_docs * frac))
 
     spark = get_spark(app_name="incr-neardup", master="local[32]", shuffle_partitions=32)
-    base = input_columns(generate_source_files(n_docs, seed=21))
+    if tiles:
+        # DENSITY-CONTROLLED corpus (the scale_point3 instrument): T
+        # tiles of an n/T-doc fixture, every token prefixed per tile →
+        # cross-tile shingle sets are DISJOINT, so per-tile near-dup
+        # structure is isomorphic to the small fixture and total
+        # candidate/verified-pair volume grows LINEARLY with tiles.
+        # Needed because the plain fixture's template pool makes ~0.1%
+        # of RANDOM pairs true near-dups (J≥0.8): organic pair count
+        # grows O(n²) — a property of the DATA, which at 60k docs
+        # overruns this host's 79 GB of shuffle disk in the exact-
+        # Jaccard verify regardless of banding (measured; NOTES.md).
+        # The tiled corpus isolates ENGINE scaling from that.
+        per_tile = n_docs // tiles
+        small = input_columns(generate_source_files(per_tile, seed=21))
+        parts = []
+        for t in range(tiles):
+            tp = small.copy()
+            tp["path"] = f"tile{t}/" + tp["path"]
+            tp["content"] = tp["content"].str.replace(
+                r"(?<!\S)(?=\S)", f"q{t}x", regex=True
+            )
+            # .str accessor turns None into NaN; restore real nulls
+            tp["content"] = tp["content"].where(small["content"].notna(), None)
+            parts.append(tp)
+        base = pd.concat(parts, ignore_index=True)
+    else:
+        base = input_columns(generate_source_files(n_docs, seed=21))
     inc = base.head(n_inc).copy()
     inc["path"] = "increment/" + inc["path"]
     inc["content"] = inc["content"] + "\nincrement_marker = 1\n"
@@ -69,7 +109,7 @@ def main() -> None:
         roots.append(root)
         cat = LocalCatalog(root)
         t0 = time.perf_counter()
-        run(spark, sdf_base, cat, n_buckets=n_buckets, near_dup=True)
+        run(spark, sdf_base, cat, n_buckets=n_buckets, near_dup=True, near_dup_use_kernel=use_kernel)
         first = time.perf_counter() - t0
         t0 = time.perf_counter()
         s = run(
@@ -79,6 +119,7 @@ def main() -> None:
             n_buckets=n_buckets,
             bucket_offset=n_buckets,
             near_dup=True,
+            near_dup_use_kernel=use_kernel,
         )
         second = time.perf_counter() - t0
         results["incremental_epoch"] = {
@@ -94,7 +135,7 @@ def main() -> None:
         roots.append(root2)
         cat2 = LocalCatalog(root2)
         t0 = time.perf_counter()
-        run(spark, sdf_grown, cat2, n_buckets=n_buckets, near_dup=True)
+        run(spark, sdf_grown, cat2, n_buckets=n_buckets, near_dup=True, near_dup_use_kernel=use_kernel)
         scratch = time.perf_counter() - t0
         results["from_scratch"] = {"grown_corpus_sec": round(scratch, 2)}
         kept_scratch = cat2.read_table(spark, "kept").count()
@@ -109,6 +150,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "incremental_neardup_epoch_append",
+                "sig_family": "kernel64" if use_kernel else "md5-16x4",
+                "tiles": tiles,
                 "n_docs": n_docs,
                 "increment_rows": n_inc,
                 **results,

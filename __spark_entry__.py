@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOK = "regexp_split_to_array(lower(text), '\\s+')"
 
+# 64 salted minima → 16 bands of 4 (round-4 spec; see operators/dedup.py
+# constants — r=1 banding admitted quadratically-growing boilerplate
+# candidates). The oracle mirrors the Spark form exactly: m_k = min over
+# shingles of md5(k ':' shingle); band sig = md5 of the 4 minima
+# concatenated in k order.
 _MINHASH_SIG_CTE = f"""
 WITH t AS (
   SELECT doc_id, {_TOK} AS toks FROM documents
@@ -180,10 +185,15 @@ WITH t AS (
   FROM tok a
   JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
   JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+), mins AS (
+  SELECT doc_id, k, min(md5(k::VARCHAR || ':' || shingle)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
+  GROUP BY doc_id, k
 ), sig AS (
-  SELECT doc_id, band, min(md5(band::VARCHAR || ':' || shingle)) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS band) bands
-  GROUP BY doc_id, band
+  SELECT doc_id, (k // 4)::INT AS band,
+         md5(string_agg(m, '' ORDER BY k)) AS minhash
+  FROM mins
+  GROUP BY doc_id, (k // 4)
 )
 """
 

@@ -80,6 +80,15 @@ EDGES = "edges"
 # every bucket-partitioned data table the manifest protocol manages
 DATA_TABLES = (KEPT, QUARANTINE, SIGNATURES, EDGES)
 
+# signature FAMILIES for near-dup state (see schemas.SIGNATURES): the
+# family names the exact hash spec, so a spec change renames the family
+# and old committed state simply never matches (full recompute once,
+# recommit under the new family — slow, never wrong). "md5-16x4" =
+# round-4 word-shingle spec (64 salted md5 minima → 16 bands of 4);
+# "kernel64" = int64 char-8-gram kernel (8 bands of 8 perms).
+MD5_FAMILY = "md5-16x4"
+KERNEL_FAMILY = "kernel64"
+
 # one lineage row per bucket commit (shared by commit_group and
 # compact_state's manifest rewrite)
 _MANIFEST_SCHEMA = pa.schema(
@@ -262,16 +271,17 @@ class LocalCatalog:
                     out[row["bucket"]] = row
         return out
 
-    def buckets_with_sig_state(self, family: str = "md5") -> set[int]:
+    def buckets_with_sig_state(self, family: str = MD5_FAMILY) -> set[int]:
         """Buckets whose latest commit published near-dup state
         (signatures + edges) OF THE GIVEN FAMILY alongside the data —
         the precondition for the incremental near-dup path
         (``pipeline.run(near_dup=True)``). Rows committed before the
-        family field existed are md5 (the only family then)."""
+        family field existed are the pre-round-4 8-band md5 spec — a
+        retired family name that never matches, so they recompute."""
         return {
             b
             for b, row in self.lineage_by_bucket().items()
-            if row.get("sig_state") and (row.get("sig_family") or "md5") == family
+            if row.get("sig_state") and (row.get("sig_family") or "md5-8x1") == family
         }
 
     def invalidate_buckets(self, buckets: set[int]) -> None:

@@ -21,7 +21,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-N_BANDS = 8
+# 16 bands × 4 rows over 64 salted md5 minima (round 4; was 8 bands ×
+# 1 row). With r rows per band, P(candidate) = 1-(1-J^r)^b: at r=1 that
+# is ≈ 8·J, which admitted essentially every boilerplate-sharing pair —
+# measured QUADRATIC candidate growth on the source-files fixture
+# (3.0M → 48M candidates from 6k → 24k docs, 99.99% at J ≈ 0.02, which
+# is what filled 79 GB of shuffle disk at 60k docs). At r=4, b=16 a
+# J=0.02 pair collides w.p. ≈ 16·(0.02)^4 ≈ 2.6e-6 while a true
+# J=0.8 near-dup still collides w.p. 1-(1-0.41)^16 ≈ 0.9998.
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
 # Planted fixture near-dups sit at jaccard ≥ 0.96 with the background
 # below 0.4 — 0.8 separates cleanly with margin on both sides, and is a
 # common production cut for 3-word shingles.
@@ -73,26 +83,44 @@ def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def minhash_signature_frame(docs: DataFrame) -> DataFrame:
-    """Per-(doc, band) MinHash over a ``(doc_id, text)`` frame: min over
-    shingles of md5(band ':' shingle).
+    """Per-(doc, band) MinHash over a ``(doc_id, text)`` frame: 64
+    salted minima m_k = min over shingles of md5(k ':' shingle), folded
+    into 16 band signatures md5(m_{4b} || … || m_{4b+3}).
 
-    A salted-hash family via the band id — the fastText-paper-style
-    "k independent hash functions" realized portably (md5 is identical
-    hex in every engine, so the oracle can reproduce it bit-for-bit).
-    The scale path is ``dedup_kernel.minhash_bands_frame`` (64 perms in
-    one mapInArrow stage — this form shuffles the shingle stream ×8).
+    A salted-hash family via the hash index — "k independent hash
+    functions" realized portably (md5 is identical hex in every engine,
+    so the oracle and the pandas labeler reproduce it bit-for-bit).
+
+    Round-4 plan shape: ALL 64 minima are computed as aggregate columns
+    of ONE groupBy over the shingle frame — map-side partial
+    aggregation reduces each partition to one 64-column row per doc, so
+    the shuffle carries O(docs × 64 × 32 B), NOT the shingle stream.
+    (The previous form crossJoined the shingle stream × bands — at 60k
+    docs that shuffle alone spilled tens of GB.) The 4-rows-per-band
+    fold is what keeps candidate generation near-linear — see the
+    constants above. The zero-pass-over-shingles alternative remains
+    ``dedup_kernel.minhash_bands_frame`` (char-8-gram family).
     """
     sh = _shingles(docs)
-    bands = docs.sparkSession.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    return (
-        sh.crossJoin(F.broadcast(bands))
-        .select(
-            "doc_id",
-            "band",
-            F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.min("h").alias("minhash"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"m{k}")
+            for k in range(N_HASHES)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+                ).alias("minhash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return mins.select("doc_id", F.explode(bands).alias("s")).select(
+        "doc_id", F.col("s.band").alias("band"), F.col("s.minhash").alias("minhash")
     )
 
 

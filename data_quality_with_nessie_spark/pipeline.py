@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import skew
-from .catalog import KEPT, QUARANTINE, LocalCatalog
+from .catalog import KEPT, KERNEL_FAMILY, MD5_FAMILY, QUARANTINE, LocalCatalog
 from .functions.columns import doc_key_id
 from .rules.registry import RULE_NAMES, RULES, WARN_RULE_NAMES, reasons_column
 from .schemas import SOURCE_FILES
@@ -513,7 +513,7 @@ def run(
         # shingled and the committed corpus joins in via its signatures
         # (the re-ingest NOT-IN semantics, ``ingest.py:70-83``, lifted
         # to the near-dup pre-pass; VERDICT round-2 item 2).
-        sig_family = "kernel64" if near_dup_use_kernel else "md5"
+        sig_family = KERNEL_FAMILY if near_dup_use_kernel else MD5_FAMILY
         incremental = bool(
             committed
             and near_dup_incremental
@@ -619,7 +619,7 @@ def run(
                     "commit_ref": f"{run_id}:{b}",
                     "sig_state": near_dup,
                     "sig_family": (
-                        ("kernel64" if near_dup_use_kernel else "md5") if near_dup else None
+                        (KERNEL_FAMILY if near_dup_use_kernel else MD5_FAMILY) if near_dup else None
                     ),
                 }
                 for b in group

@@ -69,14 +69,17 @@ METRICS = T.StructType(
 # Near-dup incremental state, committed per bucket with the data (round 3).
 # SIGNATURES: one row per (doc, band) — the MinHash band signature of every
 # classified row, so later runs candidate-join pending docs against the
-# committed corpus instead of re-shingling it (~8 small rows per doc vs
+# committed corpus instead of re-shingling it (16 small rows per doc vs
 # re-reading the doc's content every run). Two signature FAMILIES share
-# the table, recorded per bucket in the manifest's ``sig_family``:
-# * ``md5``    — ``minhash`` set (32-hex string; the SQL-oracled spec of
-#   ``operators/dedup.py:minhash_signature_frame``), ``band_sig`` null;
+# the table, recorded per bucket in the manifest's ``sig_family``
+# (constants in catalog.py — the family NAME pins the hash spec, so a
+# spec change retires the old name and its state recomputes):
+# * ``md5-16x4`` — ``minhash`` set (32-hex string; the SQL-oracled
+#   round-4 spec of ``operators/dedup.py:minhash_signature_frame``:
+#   64 salted minima folded into 16 bands of 4), ``band_sig`` null;
 # * ``kernel64`` — ``band_sig`` set (int64 from the zero-shuffle
 #   ``operators/dedup_kernel.py:minhash_bands_frame``; 8 bytes/row vs 32,
-#   and no shingle-stream shuffle to generate), ``minhash`` null.
+#   and no shingle-stream pass at all), ``minhash`` null.
 # A run candidate-joins only against state of its own family; mixed
 # catalogs fall back to the full recompute (slow, never wrong).
 SIGNATURES = T.StructType(

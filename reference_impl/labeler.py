@@ -25,7 +25,10 @@ from data_quality_with_nessie_spark.scrub.patterns import scrub_series
 
 # Java \s (Spark's split regex class) — ASCII-only, unlike Python's \s.
 _WS = re.compile("[ \t\n\x0b\f\r]+")
-_N_BANDS = 8  # must equal operators.dedup.N_BANDS
+# must equal operators.dedup.{N_HASHES, N_BANDS, ROWS_PER_BAND}
+_N_HASHES = 64
+_N_BANDS = 16
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
 _SHINGLE_K = 3
 
 
@@ -44,10 +47,11 @@ def _shingle_set(text: str) -> set[str]:
 
 def near_dup_drop_mask(pdf: pd.DataFrame, threshold: float = 0.8) -> pd.Series:
     """Single-process twin of ``operators.dedup.near_dup_drop_ids``:
-    MinHash (md5, 8 bands) → LSH candidates → exact shingle Jaccard →
-    union-find connected components → drop everything but the min-id
-    keeper per cluster. Same hash family as the Spark path, so the two
-    agree row-for-row, not just statistically."""
+    MinHash (md5: 64 salted minima → 16 bands of 4) → LSH candidates →
+    exact shingle Jaccard → union-find connected components → drop
+    everything but the min-id keeper per cluster. Same hash family as
+    the Spark path, so the two agree row-for-row, not just
+    statistically."""
     ids = [
         _doc_key_id(r, p, c)
         for r, p, c in zip(pdf["repo"], pdf["path"], pdf["commit"])
@@ -55,14 +59,39 @@ def near_dup_drop_mask(pdf: pd.DataFrame, threshold: float = 0.8) -> pd.Series:
     shingles = [
         _shingle_set(t) if isinstance(t, str) else set() for t in pdf["content"]
     ]
-    # (band, minhash) → row indices
+    # shingle → its 64 salted digests (shingles repeat heavily across
+    # docs — boilerplate — so memoizing them bounds md5 work by the
+    # DISTINCT shingle count, not docs × shingles)
+    digest_cache: dict[str, list[str]] = {}
+
+    def _mins64(sh: set[str]) -> list[str]:
+        mins = ["\x7f"] * _N_HASHES  # sorts after every hex digest
+        for s in sh:
+            ds = digest_cache.get(s)
+            if ds is None:
+                ds = [
+                    hashlib.md5(f"{k}:{s}".encode("utf-8")).hexdigest()
+                    for k in range(_N_HASHES)
+                ]
+                digest_cache[s] = ds
+            for k in range(_N_HASHES):
+                if ds[k] < mins[k]:
+                    mins[k] = ds[k]
+        return mins
+
+    # (band, band signature) → row indices
     buckets: dict[tuple[int, str], list[int]] = {}
     for i, sh in enumerate(shingles):
         if not sh:
             continue
+        mins = _mins64(sh)
         for band in range(_N_BANDS):
-            mh = min(hashlib.md5(f"{band}:{s}".encode("utf-8")).hexdigest() for s in sh)
-            buckets.setdefault((band, mh), []).append(i)
+            sig = hashlib.md5(
+                "".join(mins[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]).encode(
+                    "utf-8"
+                )
+            ).hexdigest()
+            buckets.setdefault((band, sig), []).append(i)
     cand: set[tuple[int, int]] = set()
     for rows in buckets.values():
         for x in range(len(rows)):

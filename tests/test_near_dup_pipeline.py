@@ -6,7 +6,7 @@ pandas labeler (same md5 MinHash spec on both sides)."""
 import pandas as pd
 import pytest
 
-from data_quality_with_nessie_spark.catalog import LocalCatalog
+from data_quality_with_nessie_spark.catalog import MD5_FAMILY, LocalCatalog
 from data_quality_with_nessie_spark.pipeline import run
 from data_quality_with_nessie_spark.schemas import SOURCE_FILES
 
@@ -345,7 +345,7 @@ def test_incremental_near_dup_kernel_path(spark, input_pdf, tmp_path):
     assert sig["band_sig"].notna().all()
     assert sig["minhash"].isna().all()
     assert cat_inc.buckets_with_sig_state("kernel64") == cat_inc.committed_buckets(spark)
-    assert cat_inc.buckets_with_sig_state("md5") == set()
+    assert cat_inc.buckets_with_sig_state(MD5_FAMILY) == set()
 
     twins = _twins_of_kept(spark, cat_inc, base, "\nkernel_twin = 1\n")
     grown_pdf = pd.concat([base, twins], ignore_index=True)
@@ -394,7 +394,7 @@ def test_family_switch_falls_back_to_full(spark, input_pdf, tmp_path):
     base = input_pdf.head(150).copy()
     cat = LocalCatalog(str(tmp_path))
     run(spark, spark.createDataFrame(base, schema=SOURCE_FILES), cat, n_buckets=6, near_dup=True)
-    assert cat.buckets_with_sig_state("md5") == cat.committed_buckets(spark)
+    assert cat.buckets_with_sig_state(MD5_FAMILY) == cat.committed_buckets(spark)
 
     twins = _twins_of_kept(spark, cat, base, "\nswitch_twin = 1\n")
     grown = spark.createDataFrame(pd.concat([base, twins], ignore_index=True), schema=SOURCE_FILES)
