@@ -170,11 +170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOK = "regexp_split_to_array(lower(text), '\\s+')"
 
-# 64 salted minima → 16 bands of 4 (round-4 spec; see operators/dedup.py
-# constants — r=1 banding admitted quadratically-growing boilerplate
-# candidates). The oracle mirrors the Spark form exactly: m_k = min over
-# shingles of md5(k ':' shingle); band sig = md5 of the 4 minima
-# concatenated in k order.
+# 64-function MinHash → 16 bands of 4 (round-4 spec; see
+# operators/dedup.py constants — r=1 banding admitted quadratically-
+# growing boilerplate candidates). The oracle mirrors the Spark form
+# exactly: one md5 per shingle seeds h_k = (a + k·b) mod 2^32 (a = hex
+# digits 1-8, b = 2·(digits 9-16)+1); m_k = per-doc minimum; band sig =
+# md5 of the band's 4 minima as ':'-joined decimals in k order.
 _MINHASH_SIG_CTE = f"""
 WITH t AS (
   SELECT doc_id, {_TOK} AS toks FROM documents
@@ -185,13 +186,18 @@ WITH t AS (
   FROM tok a
   JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
   JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+), pre AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+         ('0x' || substr(md5(shingle), 9, 8))::BIGINT * 2 + 1 AS b
+  FROM sh
 ), mins AS (
-  SELECT doc_id, k, min(md5(k::VARCHAR || ':' || shingle)) AS m
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
+  SELECT doc_id, k, min((a + k * b) % 4294967296) AS m
+  FROM pre CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
   GROUP BY doc_id, k
 ), sig AS (
   SELECT doc_id, (k // 4)::INT AS band,
-         md5(string_agg(m, '' ORDER BY k)) AS minhash
+         md5(string_agg(m::VARCHAR, ':' ORDER BY k)) AS minhash
   FROM mins
   GROUP BY doc_id, (k // 4)
 )

@@ -91,32 +91,47 @@ def minhash_signature_frame(docs: DataFrame) -> DataFrame:
     functions" realized portably (md5 is identical hex in every engine,
     so the oracle and the pandas labeler reproduce it bit-for-bit).
 
-    Round-4 plan shape: ALL 64 minima are computed as aggregate columns
-    of ONE groupBy over the shingle frame — map-side partial
-    aggregation reduces each partition to one 64-column row per doc, so
-    the shuffle carries O(docs × 64 × 32 B), NOT the shingle stream.
-    (The previous form crossJoined the shingle stream × bands — at 60k
-    docs that shuffle alone spilled tens of GB.) The 4-rows-per-band
-    fold is what keeps candidate generation near-linear — see the
-    constants above. The zero-pass-over-shingles alternative remains
-    ``dedup_kernel.minhash_bands_frame`` (char-8-gram family).
+    Round-4 plan shape: ONE md5 per shingle seeds the textbook
+    ``h_k = (a + k·b) mod 2^32`` family (a = first 8 hex digits, b =
+    2·(next 8) + 1 — odd, so the 64 functions stay distinct), and ALL
+    64 minima are computed as aggregate columns of ONE groupBy over the
+    shingle frame — map-side partial aggregation reduces each partition
+    to one 64-column row per doc, so the shuffle carries O(docs ×
+    64 × 8 B), NOT the shingle stream. (The original form crossJoined
+    the shingle stream × bands and md5'd every copy — at 60k docs that
+    shuffle alone spilled tens of GB; an intermediate form md5'd each
+    shingle 64×, measured 5× slower than this one-md5 derivation.) The
+    4-rows-per-band fold is what keeps candidate generation
+    near-linear — see the constants above. The zero-pass-over-shingles
+    alternative remains ``dedup_kernel.minhash_bands_frame``
+    (char-8-gram family).
     """
     sh = _shingles(docs)
-    mins = sh.groupBy("doc_id").agg(
+    h = F.md5(F.col("shingle"))
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
+    pre = sh.select("doc_id", a.alias("a"), b.alias("b"))
+    mins = pre.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"m{k}")
+            F.min((F.col("a") + k * F.col("b")) % F.lit(1 << 32)).alias(f"m{k}")
             for k in range(N_HASHES)
         ]
     )
     bands = F.array(
         *[
             F.struct(
-                F.lit(b).cast("int").alias("band"),
+                F.lit(bi).cast("int").alias("band"),
                 F.md5(
-                    F.concat(*[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"m{bi * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
                 ).alias("minhash"),
             )
-            for b in range(N_BANDS)
+            for bi in range(N_BANDS)
         ]
     )
     return mins.select("doc_id", F.explode(bands).alias("s")).select(

@@ -59,25 +59,26 @@ def near_dup_drop_mask(pdf: pd.DataFrame, threshold: float = 0.8) -> pd.Series:
     shingles = [
         _shingle_set(t) if isinstance(t, str) else set() for t in pdf["content"]
     ]
-    # shingle → its 64 salted digests (shingles repeat heavily across
-    # docs — boilerplate — so memoizing them bounds md5 work by the
-    # DISTINCT shingle count, not docs × shingles)
-    digest_cache: dict[str, list[str]] = {}
+    # One md5 per shingle seeds h_k = (a + k·b) mod 2^32 (a = hex digits
+    # 1-8, b = 2·(digits 9-16)+1) — the same derivation as the Spark
+    # operator and the DuckDB oracle. Memoized per DISTINCT shingle
+    # (boilerplate repeats heavily across docs).
+    import numpy as np
 
-    def _mins64(sh: set[str]) -> list[str]:
-        mins = ["\x7f"] * _N_HASHES  # sorts after every hex digest
+    _K = np.arange(_N_HASHES, dtype=np.int64)
+    _M = 1 << 32
+    ab_cache: dict[str, tuple[int, int]] = {}
+
+    def _mins64(sh: set[str]) -> list[int]:
+        mins = np.full(_N_HASHES, _M, dtype=np.int64)
         for s in sh:
-            ds = digest_cache.get(s)
-            if ds is None:
-                ds = [
-                    hashlib.md5(f"{k}:{s}".encode("utf-8")).hexdigest()
-                    for k in range(_N_HASHES)
-                ]
-                digest_cache[s] = ds
-            for k in range(_N_HASHES):
-                if ds[k] < mins[k]:
-                    mins[k] = ds[k]
-        return mins
+            ab = ab_cache.get(s)
+            if ab is None:
+                d = hashlib.md5(s.encode("utf-8")).hexdigest()
+                ab = (int(d[:8], 16), int(d[8:16], 16) * 2 + 1)
+                ab_cache[s] = ab
+            np.minimum(mins, (ab[0] + _K * ab[1]) % _M, out=mins)
+        return [int(m) for m in mins]
 
     # (band, band signature) → row indices
     buckets: dict[tuple[int, str], list[int]] = {}
@@ -87,9 +88,10 @@ def near_dup_drop_mask(pdf: pd.DataFrame, threshold: float = 0.8) -> pd.Series:
         mins = _mins64(sh)
         for band in range(_N_BANDS):
             sig = hashlib.md5(
-                "".join(mins[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]).encode(
-                    "utf-8"
-                )
+                ":".join(
+                    str(m)
+                    for m in mins[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
+                ).encode("utf-8")
             ).hexdigest()
             buckets.setdefault((band, sig), []).append(i)
     cand: set[tuple[int, int]] = set()
