@@ -130,7 +130,17 @@ def main() -> None:
         }
         kept_inc = cat.read_table(spark, "kept").count()
 
-        # the no-state alternative: whole grown corpus from scratch
+        # the no-state alternative: whole grown corpus from scratch.
+        # Fresh SparkSession: the phases are independent jobs in
+        # reality, and carrying 60k-scale shuffle files from phases 1-2
+        # into this one overruns local disk before the ContextCleaner
+        # reclaims them (measured: the shared-session form died with
+        # "No space left on device" at 60k tiled on a run-to-run draw).
+        spark.stop()
+        spark = get_spark(
+            app_name="incr-neardup-scratch", master="local[32]", shuffle_partitions=32
+        )
+        sdf_grown = spark.createDataFrame(grown, schema=SOURCE_FILES)
         root2 = tempfile.mkdtemp(prefix="incr_nd_scratch_")
         roots.append(root2)
         cat2 = LocalCatalog(root2)
