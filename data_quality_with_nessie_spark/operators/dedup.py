@@ -277,6 +277,12 @@ def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .filter(F.col("lo") != F.col("m"))
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
         )
+        # localCheckpoint is load-bearing: it TRUNCATES the logical plan.
+        # Each round references e several times (the adjacency union and
+        # the joins), so a lazy carrier like persist() leaves Catalyst
+        # re-analyzing a plan tree that multiplies in size every round —
+        # measured as an apparent hang by ~round 8. The checkpoint job +
+        # the scalar convergence aggregate are the two actions per round.
         e = e_self.unionByName(e_small).distinct().localCheckpoint()
         sig_row = e.agg(
             F.count(F.lit(1)).alias("n"),
