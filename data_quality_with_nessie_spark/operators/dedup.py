@@ -143,6 +143,57 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature_frame(_docs(spark, sf_dir))
 
 
+def exact_collapse_map(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate collapse map for the near-dup pre-pass (round-4
+    VERDICT item 1): one row per doc ``(doc_id, rep_id [, bucket])``,
+    where ``rep_id`` = min ``doc_id`` sharing the doc's content
+    fingerprint.
+
+    Signature generation, LSH and Jaccard verification then run on
+    REPRESENTATIVES only; members re-enter the near-dup graph through
+    :func:`member_edges` at jaccard 1.0 (identical text ⇒ identical
+    shingle sets), so cluster structure — hence keeper decisions — is
+    identical to the uncollapsed computation while an m-copy vendored/
+    boilerplate family costs O(m) instead of m(m−1)/2 candidate pairs.
+    The shuffle carries (fp, doc_id) — 32-byte fingerprints, never
+    content (same scale shape as :func:`exact_dedup`).
+
+    ``has_shingles`` marks families whose text yields a NON-EMPTY
+     3-word shingle set: a sub-3-token doc has no shingles, hence no
+    signatures and no candidate pairs under the spec — identical copies
+    of such a doc are NOT near-dups (the frozen labeler skips them,
+    ``reference_impl/labeler.py``), so :func:`member_edges` must not
+    link them either."""
+    extra = [c for c in docs.columns if c not in ("doc_id", "text")]
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        (F.size(_tokens(F.col("text"))) >= 3).alias("has_shingles"),
+        *extra,
+    )
+    rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    return fp.join(rep, "fp").select("doc_id", "rep_id", "has_shingles", *extra)
+
+
+def member_edges(fp_map: DataFrame) -> DataFrame:
+    """(rep, member) near-dup edges at jaccard 1.0 for every non-rep
+    member of a SHINGLE-BEARING exact-dup family — re-expands collapsed
+    members into the cluster graph. ``rep_id < doc_id`` by construction
+    (rep = min), so the pair is already hi/lo-normalized. Shingle-less
+    families (sub-3-token texts) get no edges: their copies are not
+    near-dups under the spec (empty shingle set ⇒ no signatures ⇒ no
+    candidates ⇒ never verified)."""
+    return (
+        fp_map.filter(F.col("has_shingles"))
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+
 def candidate_pairs_frame(docs: DataFrame) -> DataFrame:
     """Near-dup candidates: doc pairs agreeing on ≥1 band's minhash.
 
@@ -400,20 +451,34 @@ def near_dup_drop_ids(
     newly arrived twin with a smaller id would steal keeper-ship from a
     committed original, and since committed buckets are never
     reclassified BOTH copies would survive.
+
+    Round 5: exact duplicates are COLLAPSED to one representative per
+    content fingerprint before any shingling (see
+    :func:`exact_collapse_map`) — signatures, LSH and Jaccard verify
+    run on representatives only; members rejoin their rep's cluster
+    through jaccard-1.0 edges, so the drop set is identical and an
+    m-copy boilerplate family costs O(m), not m²/2 candidate pairs.
     """
     from ..functions.columns import doc_key_id
 
     docs = source.select(
         doc_key_id().alias("doc_id"), F.col("content").alias("text")
     )
+    fp_map = exact_collapse_map(docs).localCheckpoint()
+    reps = docs.join(
+        fp_map.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
     candidates = None
     if use_kernel:
         from .dedup_kernel import kernel_candidate_pairs_frame
 
-        candidates = kernel_candidate_pairs_frame(docs)
-    clusters = cluster_frame(
-        verified_pairs_frame(docs, threshold, candidates), max_iter=cluster_max_iter
+        candidates = kernel_candidate_pairs_frame(reps)
+    verified = verified_pairs_frame(reps, threshold, candidates).unionByName(
+        member_edges(fp_map)
     )
+    clusters = cluster_frame(verified, max_iter=cluster_max_iter)
     return rank_drop_ids(clusters, committed_ids)
 
 
@@ -435,11 +500,53 @@ def rank_drop_ids(clusters: DataFrame, committed_ids: DataFrame | None) -> DataF
     return ranked.filter((F.col("_rn") > 1) & ~F.col("committed")).select("doc_id")
 
 
-def sig_self_pairs(sig: DataFrame, key: str = "minhash") -> DataFrame:
+def _cap_hot_buckets(sig: DataFrame, key: str, cap: int) -> DataFrame:
+    """Drop signature rows of over-full (band, ``key``) buckets: one
+    map-side-combined count per bucket, then a left-semi against the
+    under-cap keys. A single degenerate bucket of m docs (viral
+    boilerplate, a licensing blob the exact-collapse missed by one
+    byte) otherwise emits m²/2 candidate pairs with no bound — the
+    recorded 79 GB-spill failure shape (round-4 VERDICT item 2). A doc
+    keeps its other bands, so recall degrades gracefully; the cost is
+    DISCLOSED via :func:`hot_bucket_stats`, never silent."""
+    ok = (
+        sig.groupBy("band", key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= cap)
+        .select("band", key)
+    )
+    return sig.join(ok, ["band", key], "left_semi")
+
+
+def hot_bucket_stats(sig: DataFrame, key: str, cap: int) -> DataFrame:
+    """One-row recall disclosure for :func:`_cap_hot_buckets`:
+    ``(n_capped_buckets, n_dropped_sig_rows, n_affected_docs)`` — the
+    buckets the cap dropped, the signature rows lost with them, and the
+    distinct docs touched (each still participates through its other
+    bands)."""
+    counts = sig.groupBy("band", key).agg(F.count(F.lit(1)).alias("_n"))
+    hot = counts.filter(F.col("_n") > cap).select("band", key, "_n")
+    dropped = sig.join(hot.select("band", key), ["band", key], "left_semi")
+    return hot.agg(
+        F.count(F.lit(1)).alias("n_capped_buckets"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_dropped_sig_rows"),
+    ).crossJoin(dropped.agg(F.count_distinct("doc_id").alias("n_affected_docs")))
+
+
+def sig_self_pairs(
+    sig: DataFrame, key: str = "minhash", max_bucket: int | None = None
+) -> DataFrame:
     """Candidate pairs among one signature frame: equi-join on
     (band, ``key``), normalized ``doc_a < doc_b``. ``key`` is the
     signature-family column: ``minhash`` (md5 spec) or ``band_sig``
-    (int64 kernel — 8-byte join keys, no shingle shuffle to produce)."""
+    (int64 kernel — 8-byte join keys, no shingle shuffle to produce).
+
+    ``max_bucket`` bounds the worst case: (band, key) buckets larger
+    than it are dropped before the self-join (see
+    :func:`_cap_hot_buckets`); ``None`` (the oracle-parity default)
+    means uncapped."""
+    if max_bucket is not None:
+        sig = _cap_hot_buckets(sig, key, max_bucket)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, ["band", key])
@@ -450,7 +557,10 @@ def sig_self_pairs(sig: DataFrame, key: str = "minhash") -> DataFrame:
 
 
 def sig_cross_pairs(
-    sig_new: DataFrame, sig_old: DataFrame, key: str = "minhash"
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    key: str = "minhash",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs between pending and committed signature frames —
     the incremental near-dup join: pending docs collide with the
@@ -460,7 +570,23 @@ def sig_cross_pairs(
     pending ids interleave with committed ones). ``key`` selects the
     signature family (see :func:`sig_self_pairs`); both frames must
     carry the SAME family — the pipeline guarantees it by checking the
-    manifest's ``sig_family`` before taking the incremental path."""
+    manifest's ``sig_family`` before taking the incremental path.
+
+    ``max_bucket`` caps hot buckets by the COMBINED (pending ∪
+    committed) bucket size — a bucket that is only hot across the union
+    is just as quadratic as a hot self-bucket."""
+    if max_bucket is not None:
+        both = sig_new.select("doc_id", "band", key).unionByName(
+            sig_old.select("doc_id", "band", key)
+        )
+        ok = (
+            both.groupBy("band", key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", key)
+        )
+        sig_new = sig_new.join(ok, ["band", key], "left_semi")
+        sig_old = sig_old.join(ok, ["band", key], "left_semi")
     n, o = sig_new.alias("n"), sig_old.alias("o")
     return (
         n.join(o, ["band", key])

@@ -449,6 +449,7 @@ def pruned_candidate_pairs(
     n_bands: int = PRUNED_N_BANDS,
     band_bits: int = PRUNED_BAND_BITS,
     multiprobe: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs under the PRUNED banding regime (normalized
     ``id_a < id_b``).
@@ -461,8 +462,22 @@ def pruned_candidate_pairs(
     random-pair scan fraction of ≈1-(1-(r+1)·2^-r)^b. With 16×8 that is
     0.06 (exact) vs 0.44 (multi-probe): use multi-probe only when the
     dedup threshold sits near the LSH's noise floor.
+
+    ``max_bucket`` drops (band, code) buckets larger than it before the
+    self-join — a degenerate embedding cluster (all-zero vectors, a
+    collapsed model output) otherwise emits m²/2 pairs unbounded
+    (round-4 VERDICT item 2). A vector keeps its other bands; ``None``
+    (default) = uncapped, the oracle-parity configuration.
     """
     codes = _band_codes(emb, "vec_id", n_bands, band_bits)
+    if max_bucket is not None:
+        ok = (
+            codes.groupBy("band", "code")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "code")
+        )
+        codes = codes.join(ok, ["band", "code"], "left_semi")
     left = codes.select(F.col("vec_id").alias("id_a"), "band", "code")
     if multiprobe:
         flips = F.array(F.lit(0), *[F.lit(1 << k) for k in range(band_bits)])

@@ -66,6 +66,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "catalog falls back to a full recompute once",
     )
     p.add_argument(
+        "--near-dup-max-bucket",
+        type=int,
+        default=5000,
+        help="max docs per (band, signature) LSH bucket in near-dup "
+        "candidate generation; over-full buckets are dropped with "
+        "disclosed counts (bounds the m^2/2 worst case of viral "
+        "boilerplate); 0 disables the cap",
+    )
+    p.add_argument(
         "--cluster-max-iter",
         type=int,
         default=50,
@@ -146,6 +155,7 @@ def main(argv: list[str] | None = None) -> dict:
         near_dup=args.near_dup,
         near_dup_incremental=not args.near_dup_full,
         near_dup_use_kernel=args.near_dup_kernel,
+        near_dup_max_bucket=args.near_dup_max_bucket or None,
         cluster_max_iter=args.cluster_max_iter,
         staged_write=not args.persist_cache,
         commit_group_size=group_size,

@@ -183,22 +183,41 @@ def test_incremental_near_dup_matches_full_recompute(spark, input_pdf, tmp_path,
     grown_pdf = pd.concat([base, twins], ignore_index=True)
     grown = spark.createDataFrame(grown_pdf, schema=SOURCE_FILES)
 
-    # spy on signature generation: incremental mode must hand it ONLY the
-    # pending rows (the committed corpus joins via its persisted state)
+    # spy on the pre-pass: incremental mode must hand the exact-dup
+    # collapse ONLY the pending rows (the committed corpus joins via its
+    # persisted state), and signature generation must see exactly ONE
+    # representative per distinct pending content (round-5 collapse —
+    # never the full member list, never a committed row)
     sig_input_counts = []
+    collapse_counts = []
     orig_sig = D.minhash_signature_frame
+    orig_collapse = D.exact_collapse_map
 
     def spy(docs):
         sig_input_counts.append(docs.count())
         return orig_sig(docs)
 
+    def collapse_spy(docs):
+        from pyspark.sql import functions as SF
+
+        row = docs.agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.count_distinct(SF.md5("text")).alias("nd"),
+        ).collect()[0]
+        collapse_counts.append((row["n"], row["nd"]))
+        return orig_collapse(docs)
+
     monkeypatch.setattr(D, "minhash_signature_frame", spy)
+    monkeypatch.setattr(D, "exact_collapse_map", collapse_spy)
     s_inc = run(spark, grown, cat_inc, n_buckets=8, near_dup=True)
     monkeypatch.setattr(D, "minhash_signature_frame", orig_sig)
+    monkeypatch.setattr(D, "exact_collapse_map", orig_collapse)
     assert s_inc["near_dup_mode"] == "incremental"
     # the twins hash into existing buckets, invalidating them; pending =
-    # exactly those buckets' rows — and signature generation saw only them
-    assert sig_input_counts[-1] == s_inc["rows_in"]
+    # exactly those buckets' rows — the collapse saw only them, and the
+    # signature stage saw one rep per distinct content among them
+    assert collapse_counts[-1][0] == s_inc["rows_in"]
+    assert sig_input_counts[-1] == collapse_counts[-1][1]
 
     s_full = run(
         spark, grown, cat_full, n_buckets=8, near_dup=True, near_dup_incremental=False
