@@ -201,6 +201,210 @@ def contamination_hits_ac(texts, probes: tuple[str, ...]):
     return counts
 
 
+# word-filter constants: 24-bit bitmap (16 MB bool — allocated per
+# call, trivially amortized per Arrow batch) addressed by a
+# multiply-shift fingerprint of each aligned 8-byte word
+_WF_MIX = 0x9E3779B97F4A7C15  # odd 64-bit golden-ratio constant
+_WF_BITS = 24
+
+
+def _wf_probe_index(probes: tuple[str, ...]):
+    """Build the word-filter probe index.
+
+    Returns ``(residues, keys, short)`` where ``keys`` maps a raw
+    64-bit window value → list of ``(probe_idx, probe_bytes, offset)``
+    such that the probe occurring at position p puts that window at
+    p + offset, ``residues`` is the set of alignments (mod 8) that must
+    be scanned, and ``short`` lists sub-8-byte probes for the C-level
+    ``bytes.find`` fallback.
+
+    The guarantee behind the stride: a probe of length m contains an
+    8-byte window starting at EVERY offset 0..m-8; scanning only
+    positions ≡ r (mod 8) for r in ``residues`` still catches every
+    occurrence as long as the probe's keys cover offsets 0..s-1 with
+    s = the scan stride — i.e. m ≥ 8 + s - 1. Longer probes therefore
+    need only the aligned (r = 0) scan, whose window array is a plain
+    zero-arithmetic ``.view(uint64)`` of the byte buffer."""
+    enc = [p.encode("utf-8") for p in probes]
+    assert all(enc), "empty probe is not a meaningful needle"
+    keys: dict[int, list[tuple[int, bytes, int]]] = {}
+    residues: set[int] = set()
+    short: list[tuple[int, bytes]] = []
+    for idx, e in enumerate(enc):
+        m = len(e)
+        if m < 8:
+            short.append((idx, e))
+            continue
+        if m >= 15:
+            s = 8
+        elif m >= 11:
+            s = 4
+        elif m >= 9:
+            s = 2
+        else:
+            s = 1
+        residues.update(range(0, 8, s))
+        for off in range(s):
+            w = int.from_bytes(e[off : off + 8], "little")
+            keys.setdefault(w, []).append((idx, e, off))
+    return residues, keys, short
+
+
+def contamination_hits_rk_buffers(data, starts, lens, probes: tuple[str, ...]):
+    """Per-doc count of DISTINCT probes present, over zero-copy Arrow
+    buffers — the VECTORIZED scan (round-4 VERDICT item 3).
+
+    The per-byte-Python automaton (:func:`contamination_hits_ac`, kept
+    as the semantics twin) is replaced in the hot path by an
+    aligned-word filter: the byte buffer is reinterpreted as uint64
+    words (zero arithmetic), each word is fingerprinted with one
+    multiply-shift into a 2^24 bitmap holding every probe's 8-byte
+    offset-windows, and only bitmap hits — rare, since a random window
+    passes w.p. ≤ |keys|/2^24 and true hits are bounded by actual
+    probe occurrences — are exactly verified (full probe bytes +
+    in-doc bounds). Probes of length ≥ 15 need only the 8-aligned scan
+    (~3 vector ops over n/8 words ≈ 0.4 ops/byte); shorter probes add
+    shifted-word residue scans (see :func:`_wf_probe_index`), and
+    sub-8-byte probes fall back to C-level ``bytes.find`` per probe.
+    Equal bytes ⇒ equal word ⇒ bitmap hit, so recall is exact;
+    precision comes from the verify. A chunked tail/short-buffer pass
+    with ``bytes.find`` covers the last partial word."""
+    import numpy as np
+
+    n_docs = len(starts)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    n = len(data)
+    if n == 0 or n_docs == 0:
+        return counts
+    residues, keys, short = _wf_probe_index(probes)
+    starts = np.asarray(starts)
+    ends = starts + np.asarray(lens)
+    n_probes = len(probes)
+    enc = [p.encode("utf-8") for p in probes]
+    # candidate positions per probe (unverified), and exact-verified
+    # (doc, probe) pair codes — everything batches; the only python
+    # loops are over probes / distinct candidate windows, never
+    # occurrences
+    cand: dict[int, list] = {}
+    pair_codes: list = []
+
+    def _attribute(pos, idx: int, m: int) -> None:
+        """Verified occurrence positions → encoded (doc, probe) pairs
+        (one vectorized searchsorted + bounds mask; dedup happens once
+        globally, so a probe occurring 10^4 times costs numpy lanes,
+        not python iterations)."""
+        if len(pos):
+            dis = np.searchsorted(starts, pos, side="right") - 1
+            dis = dis[pos + m <= ends[dis]]
+            if len(dis):
+                pair_codes.append(dis * n_probes + idx)
+
+    big = None  # lazy one-time bytes copy for the C-level find paths
+    slist = elist = None
+
+    def _find_all(idx: int, e: bytes, lo: int, hi: int) -> None:
+        """C-level ``bytes.find`` scan that advances PER DOC, not per
+        occurrence: once a doc is claimed (or an occurrence overflows
+        its end — no later start in that doc can fit either), the
+        search jumps to the doc boundary, so a probe occurring 50×/doc
+        costs one find per doc."""
+        nonlocal big, slist, elist
+        if big is None:
+            big = data.tobytes()
+            slist, elist = starts.tolist(), ends.tolist()
+        from bisect import bisect_right
+
+        m = len(e)
+        codes = []
+        p = big.find(e, lo, hi)
+        while p != -1:
+            di = bisect_right(slist, p) - 1
+            if di >= 0 and p + m <= elist[di]:
+                codes.append(di * n_probes + idx)
+            nxt = max(elist[di] if di >= 0 else 0, p + 1)
+            p = big.find(e, nxt, hi)
+        if codes:
+            pair_codes.append(np.asarray(codes, dtype=np.int64))
+
+    if keys and n >= 16:
+        n_words = n // 8
+        try:
+            words = data[: n_words * 8].view(np.uint64)
+        except ValueError:  # unaligned base buffer — one copy, still vectorized
+            words = np.ascontiguousarray(data[: n_words * 8]).view(np.uint64)
+        bitmap = np.zeros(1 << _WF_BITS, dtype=bool)
+        kv = np.fromiter(keys.keys(), dtype=np.uint64, count=len(keys))
+        bitmap[(kv * np.uint64(_WF_MIX)) >> np.uint64(64 - _WF_BITS)] = True
+        for r in sorted(residues):
+            if r == 0:
+                wr = words[:-1]  # drop last word: parity with shifted forms
+            else:
+                sh, inv = np.uint64(8 * r), np.uint64(64 - 8 * r)
+                wr = (words[:-1] >> sh) | (words[1:] << inv)
+            hit = np.nonzero(bitmap[(wr * np.uint64(_WF_MIX)) >> np.uint64(64 - _WF_BITS)])[0]
+            if not len(hit):
+                continue
+            # group candidate positions by window VALUE (sort + run
+            # boundaries); the loop is over DISTINCT colliding windows
+            # (≤ |keys|) and only APPENDS position slices per probe
+            wv = wr[hit]
+            order = np.argsort(wv, kind="stable")
+            wv, hit = wv[order], hit[order]
+            bounds = np.nonzero(np.r_[True, wv[1:] != wv[:-1]])[0]
+            for gi, g0 in enumerate(bounds):
+                entries = keys.get(int(wv[g0]))
+                if not entries:  # 24-bit fingerprint collision
+                    continue
+                g1 = bounds[gi + 1] if gi + 1 < len(bounds) else len(wv)
+                win_pos = 8 * hit[g0:g1].astype(np.int64) + r
+                for idx, _, off in entries:
+                    cand.setdefault(idx, []).append(win_pos - off)
+        # ONE exact verify per probe over all its candidates (matrix
+        # byte-compare), then one attribution pass
+        for idx, chunks in cand.items():
+            e = enc[idx]
+            m = len(e)
+            pos = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+            pos = pos[(pos >= 0) & (pos + m <= n)]
+            if not len(pos):
+                continue
+            if len(chunks) > 1:
+                pos = np.unique(pos)  # offset variants can alias a position
+            pat = np.frombuffer(e, dtype=np.uint8)
+            ok = (data[pos[:, None] + np.arange(m)] == pat).all(axis=1)
+            _attribute(pos[ok], idx, m)
+        # tail: positions whose window would need the dropped last
+        # partial word — re-scan the final stretch with exact find
+        max_m = max(len(e) for v in keys.values() for _, e, _ in v)
+        tail_lo = max(0, 8 * (n_words - 1) - max_m)
+        for idx, e, off in (t for v in keys.values() for t in v):
+            if off == 0:  # one find per probe, not per offset-variant
+                _find_all(idx, e, tail_lo, n)
+    elif keys:  # buffer shorter than two words — find everything exactly
+        for idx, e, off in (t for v in keys.values() for t in v):
+            if off == 0:
+                _find_all(idx, e, 0, n)
+
+    for idx, e in short:
+        _find_all(idx, e, 0, n)
+
+    if pair_codes:
+        pairs = np.unique(np.concatenate(pair_codes))
+        np.add.at(counts, pairs // n_probes, 1)
+    return counts
+
+
+def contamination_hits_rk(texts, probes: tuple[str, ...]):
+    """List-of-texts convenience twin of
+    :func:`contamination_hits_rk_buffers` (testing / labeler parity)."""
+    import pandas as pd
+
+    from ..rules.kernel import buffers_from_pandas
+
+    data, starts, lens = buffers_from_pandas(pd.Series(list(texts), dtype=object))
+    return [int(c) for c in contamination_hits_rk_buffers(data, starts, lens, probes)]
+
+
 def contamination_check(
     spark: SparkSession,
     sf_dir: str,
@@ -215,9 +419,13 @@ def contamination_check(
     ``AC_PROBE_THRESHOLD`` the chained native ``contains`` keeps the
     scan one codegen'd pass (a C-level substring search per probe); at
     real probe-list sizes (10^3+ needles, where per-probe passes are
-    O(n·probes)) ONE Aho-Corasick pass inside a mapInArrow stage scans
-    each doc once regardless of probe count. Agreement of the two paths
-    is pinned at 1000 probes in tests/test_rules.py."""
+    O(n·probes)) ONE vectorized Rabin-Karp pass inside a mapInArrow
+    stage scans each doc once regardless of probe count (round 5:
+    numpy rolling hash + exact verify at hash hits,
+    :func:`contamination_hits_rk_buffers`, replacing the per-byte
+    Python Aho-Corasick loop in the hot path — the automaton survives
+    as the semantics twin, agreement pinned in tests/test_rules.py
+    along with the 1000-probe chained-contains agreement)."""
     docs = _docs(spark, sf_dir)
     if len(probes) <= AC_PROBE_THRESHOLD:
         text = F.coalesce(F.col("text"), F.lit(""))
@@ -242,15 +450,14 @@ def contamination_check(
     )
 
     def gen(batches):
-        import numpy as np
         import pyarrow as pa
+
+        from ..rules.kernel import buffers_from_arrow
 
         for batch in batches:
             ids = batch.column(0)
-            counts = np.asarray(
-                contamination_hits_ac(batch.column(1).to_pylist(), probes),
-                dtype=np.int64,
-            )
+            data, starts, lens = buffers_from_arrow(batch.column(1))
+            counts = contamination_hits_rk_buffers(data, starts, lens, probes)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(counts), pa.array(counts > 0)],
                 names=["doc_id", "n_probe_hits", "contaminated"],
