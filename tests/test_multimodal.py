@@ -52,17 +52,108 @@ def test_feature_extraction_roundtrip(spark):
     assert len(feats) == 64
     assert (feats["n_bytes"] > 0).all()
     assert feats["feature"].map(len).eq(8).all()
-    # deterministic: same payload → same feature
+    # deterministic: the Spark path reproduces the local dispatch
+    # (real pixel/sample decode for png/wav, stub for video)
     pdf = assets.toPandas().sort_values("asset_id").reset_index(drop=True)
-    expect = _decode_stub(pdf["payload"].iloc[0], pdf["kind"].iloc[0])
-    got = list(feats["feature"].iloc[0])
-    assert len(got) == len(expect)
-    # feature column is float32; compare at float32 precision
-    assert all(abs(g - e) < 1e-6 for g, e in zip(got, expect))
+    from data_quality_with_nessie_spark.operators.multimodal import decode_feature
+
+    for i in range(6):
+        expect = decode_feature(
+            pdf["payload"].iloc[i], pdf["kind"].iloc[i], pdf["mime"].iloc[i]
+        )
+        got = list(feats["feature"].iloc[i])
+        # feature column is float32; compare at float32 precision
+        assert all(abs(g - e) < 1e-6 for g, e in zip(got, expect)), i
 
 
 def test_feature_histogram_normalized(spark):
+    """The stub path (video) keeps its normalized-histogram contract."""
     assets = synth_assets(spark, n=16)
     feats = extract_features(assets).toPandas()
-    sums = feats["feature"].map(sum)
+    sums = feats[feats["kind"] == "video"]["feature"].map(sum)
+    assert len(sums) > 0
     assert ((sums - 1.0).abs() < 1e-3).all()
+
+
+def test_png_pixel_roundtrip():
+    """Round-4 VERDICT item 5: synthesized pixels decode back EXACTLY
+    (encoder writes filter-0 scanlines; decoder unfilters all five
+    filter types — exercised below via hand-built rows)."""
+    import numpy as np
+    import zlib
+    import struct
+
+    from data_quality_with_nessie_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png_pixels,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (13, 9, 4), dtype=np.uint8)
+    out = decode_png_pixels(png_encode(px))
+    assert out is not None and np.array_equal(out, px)
+
+    # filters 1 (sub), 2 (up), 3 (average), 4 (paeth): encode manually,
+    # decode must invert each — verify against a naive reference unfilter
+    h, w, bpp = 4, 5, 4
+    raw_px = rng.integers(0, 256, (h, w * bpp), dtype=np.uint8).astype(np.int64)
+    lines = []
+    for y, f in enumerate([1, 2, 3, 4]):
+        row = raw_px[y]
+        prev = raw_px[y - 1] if y else np.zeros(w * bpp, dtype=np.int64)
+        enc = np.zeros(w * bpp, dtype=np.int64)
+        for x in range(w * bpp):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (row[x] - pred) % 256
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+    ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png_pixels(payload)
+    assert out is not None
+    assert np.array_equal(out.reshape(h, w * bpp), raw_px.astype(np.uint8))
+
+    # garbage / foreign formats refuse instead of mis-decoding
+    assert decode_png_pixels(b"junk") is None
+    from data_quality_with_nessie_spark.operators.multimodal import png_bytes
+
+    assert decode_png_pixels(png_bytes(32, 32, b"trailing junk")) is None
+
+
+def test_wav_sample_roundtrip():
+    import numpy as np
+
+    from data_quality_with_nessie_spark.operators.multimodal import (
+        decode_wav_samples,
+        wav_bytes,
+    )
+
+    rng = np.random.default_rng(6)
+    samples = rng.integers(-(1 << 15), 1 << 15, 777).astype(np.int16)
+    got = decode_wav_samples(wav_bytes(0, samples=samples))
+    assert got is not None and np.array_equal(got, samples)
+    # truncated payload yields the samples present (ranged-read shape)
+    full = wav_bytes(0, samples=samples)
+    got_trunc = decode_wav_samples(full[: len(full) - 100])
+    assert got_trunc is not None and np.array_equal(got_trunc, samples[:-50])
+    # non-PCM / garbage refuse
+    assert decode_wav_samples(b"RIFFxxxxNOPE" + b"\x00" * 40) is None
+    assert decode_wav_samples(None) is None
