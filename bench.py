@@ -62,13 +62,23 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     queries["simhash64_kernel_raw"] = DK.simhash64_kernel_raw
     out: dict[str, float] = {}
     for name in names:
-        # time construction + materialization: iterative operators
-        # (dedup_clusters' label propagation) run actions while BUILDING
-        # the frame — timing only the final materialize would hide them
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        _materialize(df)
-        out[name] = round(time.perf_counter() - t0, 3)
+        # warm once (Catalyst/janino plan compile, python-worker spinup
+        # for this query's UDF stages), then report MIN-OF-2 timed runs:
+        # single-shot numbers drew ±35% on neighbor load (round-4's
+        # driver bench read as a 36% regression on untouched code), and
+        # min-of-N after warm is what BENCH/scaling.py already learned
+        # to do. Each timed run covers construction + materialization:
+        # iterative operators (dedup_clusters' pointer jumping) run
+        # actions while BUILDING the frame — timing only the final
+        # materialize would hide them.
+        fn = queries[name]
+        _materialize(fn(spark, sf_dir))
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            times.append(time.perf_counter() - t0)
+        out[name] = round(min(times), 3)
     return out
 
 
@@ -91,15 +101,18 @@ def main() -> None:
 
     t0 = time.perf_counter()
     per_query = bench_queries(spark, sf_dir)
-    total = round(time.perf_counter() - t0, 3)
+    wall = round(time.perf_counter() - t0, 3)
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                # the comparable headline: sum of per-query min-of-2
+                # steady-state times (wall includes the warm passes)
+                "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
                 "queries": per_query,
+                "wall_sec": wall,
                 "sf": sf,
             }
         )
