@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": D.exact_dedup,
         "minhash_signatures": D.minhash_signatures,
         "lsh_candidate_pairs": D.lsh_candidate_pairs,
+        "lsh_hot_bucket_stats": D.lsh_hot_bucket_stats,
         "lsh_jaccard_verified": D.lsh_jaccard_verified,
         "dedup_clusters": D.dedup_clusters,
         "dedup_rate_by_source": D.dedup_rate_by_source,
@@ -428,6 +429,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM sig a JOIN sig b
               ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        """,
+        # hot-bucket-cap recall disclosure (round 5): counts of what a
+        # cap of 2 would drop — cap sized to fixture bucket sizes so
+        # the row is non-zero (production default is 5000)
+        "lsh_hot_bucket_stats": _MINHASH_SIG_CTE
+        + """
+            , counts AS (
+                SELECT band, minhash, count(*) AS n FROM sig GROUP BY band, minhash
+            ), hot AS (SELECT * FROM counts WHERE n > 2)
+            SELECT (SELECT count(*) FROM hot)::BIGINT AS n_capped_buckets,
+                   (SELECT coalesce(sum(n), 0) FROM hot)::BIGINT AS n_dropped_sig_rows,
+                   (SELECT count(DISTINCT s.doc_id)
+                      FROM sig s JOIN hot h
+                        ON s.band = h.band AND s.minhash = h.minhash)::BIGINT
+                       AS n_affected_docs
         """,
         "lsh_jaccard_verified": _VERIFIED_PAIRS_CTE
         + "SELECT doc_a, doc_b, jaccard FROM verified",

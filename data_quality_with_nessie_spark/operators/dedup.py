@@ -599,6 +599,19 @@ def sig_cross_pairs(
     )
 
 
+def lsh_hot_bucket_stats(spark: SparkSession, sf_dir: str, cap: int = 2) -> DataFrame:
+    """Exported disclosure query for the hot-bucket cap (round-4
+    VERDICT item 2): what capping (band, minhash) buckets at ``cap``
+    docs WOULD drop on the ``documents`` corpus — the dashboard a
+    curator reads before choosing ``--near-dup-max-bucket``. The test
+    default of 2 is sized to the fixture's organic bucket sizes (max 3
+    at sf0.01) so the oracle row exercises a non-zero disclosure; the
+    production pipeline default is 5000."""
+    return hot_bucket_stats(
+        minhash_signature_frame(_docs(spark, sf_dir)), "minhash", cap
+    )
+
+
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup rate per source shard: the fraction of each source's
     docs that participate in ≥1 verified near-dup pair — the dashboard a
