@@ -18,8 +18,11 @@ exact SQL oracle. At scale:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .parallel import fan_out
 
 # 16 bands × 4 rows over 64 salted md5 minima (round 4; was 8 bands ×
 # 1 row). With r rows per band, P(candidate) = 1-(1-J^r)^b: at r=1 that
@@ -39,7 +42,9 @@ JACCARD_THRESHOLD = 0.8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan_out: a compact single-split documents file must not serialize
+    # the explode/hash/score stage on one core (operators/parallel.py)
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _tokens(col):

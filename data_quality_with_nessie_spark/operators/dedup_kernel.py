@@ -27,8 +27,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .parallel import fan_out
 
 from ..rules.kernel import _scratch, buffers_from_arrow, buffers_from_pandas
 
@@ -255,7 +258,9 @@ def kernel_candidate_pairs_frame(docs: DataFrame) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan_out: a compact single-split documents file must not serialize
+    # the explode/hash/score stage on one core (operators/parallel.py)
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def minhash_bands_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,37 @@
+"""Scan fan-out for CPU-heavy per-row operators.
+
+File-split parallelism follows input BYTES (``spark.sql.files.
+maxPartitionBytes``), but shingling/hashing/scoring cost follows input
+ROWS × per-row CPU — on a compact source (one small parquet file, or
+heavily compressed text) a whole explode + map-side-aggregate stage
+inherits ONE scan task and serializes on a single core while the rest
+of the cluster idles. Measured here: the 0.6 MB sf0.1 ``documents``
+file is one row group → one task, so every standalone doc operator's
+first stage ran serially, and any slowdown of that one core (GC, a
+noisy co-tenant vCPU) multiplied the whole query's wall time.
+
+``fan_out`` repartitions a frame to the session's default parallelism
+when (and only when) its compiled scan has fewer partitions — the
+round-robin shuffle of the raw rows costs far less than the serialized
+CPU stage it unblocks. At production scale the input has many splits
+and the helper is a no-op, so the extra Exchange never reaches the
+100 TB plan. AQE cannot make this call: it splits skewed SHUFFLE
+partitions, never scan partitions, and a single-row-group parquet file
+cannot be byte-range split (``spark.sql.files.minPartitionNum`` would
+yield N−1 empty tasks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to the session's default parallelism when
+    its physical plan yields fewer partitions (see module docstring).
+    The partition-count probe compiles the plan but runs no job."""
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

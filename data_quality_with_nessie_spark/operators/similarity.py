@@ -18,7 +18,11 @@ TOP_K = 10
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # fan_out: a compact single-split embeddings file must not serialize
+    # the dot-product/band-code stage on one core (operators/parallel.py)
+    from .parallel import fan_out
+
+    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dot(a: Column, b: Column) -> Column:
