@@ -1,0 +1,98 @@
+"""Single-core throughput of the contamination scan substrates
+(round-4 VERDICT item 3's done-criterion: a benched ≥10× gain of the
+vectorized word-filter scan over the per-byte-Python Aho-Corasick
+automaton at sf0.1).
+
+Reads the sf0.1 ``documents`` table with pyarrow (no Spark — this
+measures the kernel substrate, the same code the mapInArrow stage
+calls per batch), builds an eval-style probe list (the shipped
+``CONTAMINATION_PROBES`` tiled with distinct suffixes to the requested
+size, as real eval sets are mostly ≥15-byte sentences), and times both
+implementations over identical zero-copy buffers. Agreement is
+asserted, not assumed.
+
+Usage: python BENCH/contamination_speed.py [n_probes]
+Prints one JSON line; numbers recorded in BENCH/NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_quality_with_nessie_spark.operators.text import (
+        CONTAMINATION_PROBES,
+        contamination_hits_ac,
+        contamination_hits_rk_buffers,
+    )
+
+    n_probes = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    col = tbl.column("text").combine_chunks()
+    if hasattr(col, "chunk"):  # ChunkedArray on older pyarrow
+        col = col.chunk(0)
+    texts = [t if t is not None else "" for t in col.to_pylist()]
+    # tile the corpus to ≥24 MB: throughput at SCALE is the quantity
+    # under test, and on the raw 1.5 MB file the scan's per-probe fixed
+    # costs (index build, per-probe verify dispatch) dominate the
+    # streaming rate a 100 TB mapInArrow batch would actually see
+    base_mb = sum(len(t.encode()) for t in texts) / 1e6
+    tile = max(1, int(24 / max(base_mb, 1e-9)))
+    texts = texts * tile
+
+    # eval-style probe list: every probe ≥15 bytes (sentence-shaped),
+    # deterministic, no duplicates
+    base = [p for p in CONTAMINATION_PROBES if len(p.encode()) >= 15]
+    probes = tuple(
+        (base[i % len(base)] + f" variant {i:04d}") for i in range(n_probes)
+    )
+
+    # zero-copy buffers for the vectorized path (same extraction the
+    # mapInArrow stage performs)
+    import pyarrow as pa
+
+    arr = pa.array(texts, type=pa.large_string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, lens = offsets[:-1], np.diff(offsets)
+    total_mb = int(lens.sum()) / 1e6
+
+    t0 = time.perf_counter()
+    rk = contamination_hits_rk_buffers(data, starts, lens, probes)
+    rk_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ac = contamination_hits_ac(texts, probes)
+    ac_sec = time.perf_counter() - t0
+
+    assert list(rk) == list(ac), "substrate disagreement"
+    print(
+        json.dumps(
+            {
+                "metric": "contamination_scan_mb_per_sec_single_core",
+                "sf_dir": sf_dir,
+                "corpus_mb": round(total_mb, 2),
+                "n_probes": n_probes,
+                "rk_mb_per_sec": round(total_mb / rk_sec, 1),
+                "ac_mb_per_sec": round(total_mb / ac_sec, 1),
+                "speedup": round(ac_sec / rk_sec, 1),
+                "agree": True,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,10 @@ oracle can reproduce bit-for-bit.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
+
+from .parallel import fan_out
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "for")
 STOPWORDS_DE = ("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
@@ -25,7 +28,9 @@ MIN_ALNUM_RATIO = 0.5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan_out: a compact single-split documents file must not serialize
+    # the explode/hash/score stage on one core (operators/parallel.py)
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _tokens(col):
@@ -212,22 +217,35 @@ def _wf_probe_index(probes: tuple[str, ...]):
     """Build the word-filter probe index.
 
     Returns ``(residues, keys, short)`` where ``keys`` maps a raw
-    64-bit window value → list of ``(probe_idx, probe_bytes, offset)``
+    64-bit window value → list of ``(probe_idx, probe_bytes, delta)``
     such that the probe occurring at position p puts that window at
-    p + offset, ``residues`` is the set of alignments (mod 8) that must
+    p + delta, ``residues`` is the set of alignments (mod 8) that must
     be scanned, and ``short`` lists sub-8-byte probes for the C-level
     ``bytes.find`` fallback.
 
     The guarantee behind the stride: a probe of length m contains an
     8-byte window starting at EVERY offset 0..m-8; scanning only
     positions ≡ r (mod 8) for r in ``residues`` still catches every
-    occurrence as long as the probe's keys cover offsets 0..s-1 with
-    s = the scan stride — i.e. m ≥ 8 + s - 1. Longer probes therefore
-    need only the aligned (r = 0) scan, whose window array is a plain
-    zero-arithmetic ``.view(uint64)`` of the byte buffer."""
+    occurrence as long as the probe's keys cover s CONSECUTIVE probe
+    offsets anchor..anchor+s-1 with s = the scan stride (s | 8 ⇒ any s
+    consecutive window alignments contain exactly one scanned residue)
+    — i.e. m ≥ 8 + s - 1, with anchor free in 0..m-7-s. Probes of
+    m ≥ 15 therefore need only the aligned (r = 0) scan, whose window
+    array is a plain zero-arithmetic ``.view(uint64)`` of the byte
+    buffer.
+
+    The anchor is chosen PER PROBE by greedy min-load over the window
+    values already keyed: real probe lists share long prefixes (eval
+    suites with templated questions, license headers), and keying every
+    probe on its first windows would hand each occurrence of the shared
+    prefix to EVERY sibling probe as a candidate — measured 0.4× the
+    automaton on a 1000-probe shared-prefix list before this fix.
+    Anchoring siblings on their distinct regions keeps candidate
+    attribution O(true occurrences)."""
     enc = [p.encode("utf-8") for p in probes]
     assert all(enc), "empty probe is not a meaningful needle"
     keys: dict[int, list[tuple[int, bytes, int]]] = {}
+    load: dict[int, int] = {}  # window value → probes already keyed on it
     residues: set[int] = set()
     short: list[tuple[int, bytes]] = []
     for idx, e in enumerate(enc):
@@ -244,9 +262,17 @@ def _wf_probe_index(probes: tuple[str, ...]):
         else:
             s = 1
         residues.update(range(0, 8, s))
-        for off in range(s):
-            w = int.from_bytes(e[off : off + 8], "little")
-            keys.setdefault(w, []).append((idx, e, off))
+        max_anchor = m - 7 - s
+        best = None
+        for a in sorted({0, max_anchor // 2, max_anchor}):
+            ws = [int.from_bytes(e[a + off : a + off + 8], "little") for off in range(s)]
+            cost = max(load.get(w, 0) for w in ws)
+            if best is None or cost < best[0]:
+                best = (cost, a, ws)
+        _, anchor, ws = best
+        for off, w in enumerate(ws):
+            load[w] = load.get(w, 0) + 1
+            keys.setdefault(w, []).append((idx, e, anchor + off))
     return residues, keys, short
 
 
@@ -375,15 +401,24 @@ def contamination_hits_rk_buffers(data, starts, lens, probes: tuple[str, ...]):
             _attribute(pos[ok], idx, m)
         # tail: positions whose window would need the dropped last
         # partial word — re-scan the final stretch with exact find
+        # (one find per probe: dedupe the per-offset key entries first;
+        # a probe's key delta is ≤ m-8 < max_m, so tail_lo still covers
+        # every occurrence whose key window was dropped)
         max_m = max(len(e) for v in keys.values() for _, e, _ in v)
         tail_lo = max(0, 8 * (n_words - 1) - max_m)
-        for idx, e, off in (t for v in keys.values() for t in v):
-            if off == 0:  # one find per probe, not per offset-variant
-                _find_all(idx, e, tail_lo, n)
+        probe_bytes: dict[int, bytes] = {}
+        for v in keys.values():
+            for idx, e, _ in v:
+                probe_bytes.setdefault(idx, e)
+        for idx, e in probe_bytes.items():
+            _find_all(idx, e, tail_lo, n)
     elif keys:  # buffer shorter than two words — find everything exactly
-        for idx, e, off in (t for v in keys.values() for t in v):
-            if off == 0:
-                _find_all(idx, e, 0, n)
+        probe_bytes = {}
+        for v in keys.values():
+            for idx, e, _ in v:
+                probe_bytes.setdefault(idx, e)
+        for idx, e in probe_bytes.items():
+            _find_all(idx, e, 0, n)
 
     for idx, e in short:
         _find_all(idx, e, 0, n)
