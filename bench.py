@@ -20,7 +20,80 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def _busy_jiffies() -> int:
+    """All-CPU non-idle jiffies (incl. steal — a co-tenant's cycles are
+    cores this bench could not use; same accounting as BENCH/scaling.py)."""
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    return sum(vals) - vals[3] - vals[4]
+
+
+def _own_jiffies(seen_max: dict[int, int]) -> int:
+    """Sum of utime+stime over THIS process's descendant tree (JVM +
+    python workers), keeping a per-pid monotonic max so a worker that
+    exits between sweeps still counts (see BENCH/scaling.py)."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                rest = fh.read().rsplit(")", 1)[1].split()
+            procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        except (OSError, IndexError, ValueError):
+            continue
+    desc = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in desc and pid not in desc:
+                desc.add(pid)
+                grew = True
+    for pid in desc:
+        if pid in procs:
+            seen_max[pid] = max(seen_max.get(pid, 0), procs[pid][1])
+    return sum(seen_max.values())
+
+
+_HZ = os.sysconf("SC_CLK_TCK")
+_EXT_QUIET = 1.5  # cores of non-us load above which a timed run is "noisy"
+_PROBE_SICK = 2.5  # probe slowdown factor that marks a JVM-slow window
+
+
+def _probe(spark) -> float:
+    """Wall time of a tiny fixed Spark job (codegen agg over a range —
+    scheduler + task launch + JVM execution, no disk). Diagnosed on this
+    host (round 5): the VM intermittently enters 10–60 s windows where
+    JVM execution AND task scheduling run 5–25× slow while guest-visible
+    CPU/GC/iowait stay idle (a 32-task stage sat 7 s with zero launched
+    tasks; single-task stages of fixed work measured 2 s → 50 s with the
+    worker thread at 100% CPU and a co-resident numpy spinner unaffected
+    — host-level, invisible to /proc). A calibrated probe bracketing
+    each timed run detects those windows directly."""
+    t0 = time.perf_counter()
+    spark.range(20_000_000).selectExpr(
+        "sum(cast(id as double) * id) as s"  # double: no ANSI long overflow
+    ).collect()
+    return time.perf_counter() - t0
+
+
+def _timed_quiet(fn) -> tuple[float, float]:
+    """Run ``fn`` once; return (wall_sec, external_load_cores) where
+    external load = (all-CPU busy − our own subtree CPU) / wall."""
+    seen: dict[int, int] = {}
+    j0, o0 = _busy_jiffies(), _own_jiffies(seen)
+    t0 = time.perf_counter()
+    fn()
+    wall = time.perf_counter() - t0
+    j1, o1 = _busy_jiffies(), _own_jiffies(seen)
+    ext = max(0.0, ((j1 - j0) - (o1 - o0)) / _HZ) / max(wall, 1e-9)
+    return wall, ext
+
+
+def bench_queries(spark, sf_dir: str, noisy: list[str] | None = None) -> dict[str, float]:
+    if noisy is None:
+        noisy = []
     import __spark_entry__ as entry_mod
 
     names = [
@@ -60,25 +133,58 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     queries["minhash_bands_kernel_raw"] = DK.minhash_bands_kernel_raw
     queries["simhash64_kernel_raw"] = DK.simhash64_kernel_raw
+    # calibrate the health probe: min of 5 (first is its own warm-up).
+    # The base stays a RUNNING min over every probe taken afterwards —
+    # if the calibration itself landed inside a sick window, the first
+    # healthy probe re-anchors it instead of masking later windows.
+    probe_base = min(_probe(spark) for _ in range(5))
+
+    def probe_ok() -> bool:
+        nonlocal probe_base
+        p = _probe(spark)
+        probe_base = min(probe_base, p)
+        return p <= _PROBE_SICK * probe_base
+
     out: dict[str, float] = {}
     for name in names:
         # warm once (Catalyst/janino plan compile, python-worker spinup
-        # for this query's UDF stages), then report MIN-OF-2 timed runs:
-        # single-shot numbers drew ±35% on neighbor load (round-4's
-        # driver bench read as a 36% regression on untouched code), and
-        # min-of-N after warm is what BENCH/scaling.py already learned
-        # to do. Each timed run covers construction + materialization:
+        # for this query's UDF stages), then report the min of 2 timed
+        # runs. Each timed run covers construction + materialization:
         # iterative operators (dedup_clusters' pointer jumping) run
         # actions while BUILDING the frame — timing only the final
         # materialize would hide them.
+        # A run is only counted when the host was HEALTHY while it ran:
+        # external CPU load < 1.5 cores (measured like BENCH/scaling.py)
+        # AND the bracketing probe jobs ran at calibrated speed — the
+        # round-5 diagnosis showed this VM's JVM-slow windows are
+        # invisible to CPU accounting (see _probe), and a window can
+        # span BOTH timed runs of one query (min-of-2 read 33 s on a
+        # 2.5 s query). Unhealthy runs are retried (cap 6); if the
+        # window outlives the retries, the min over ALL runs is
+        # reported and the query is named in ``noisy_queries``.
         fn = queries[name]
         _materialize(fn(spark, sf_dir))
-        times = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            times.append(time.perf_counter() - t0)
-        out[name] = round(min(times), 3)
+        quiet_times: list[float] = []
+        all_times: list[float] = []
+        for _ in range(6):
+            if not probe_ok():
+                time.sleep(2.0)  # sick window — don't even start a run
+                continue
+            wall, ext = _timed_quiet(lambda: _materialize(fn(spark, sf_dir)))
+            post_ok = probe_ok()
+            all_times.append(wall)
+            if ext < _EXT_QUIET and post_ok:
+                quiet_times.append(wall)
+            if len(quiet_times) >= 2:
+                break
+        if not all_times:
+            # every attempt's pre-probe was sick — run once anyway so
+            # the query is still reported (and disclosed as noisy)
+            wall, _ = _timed_quiet(lambda: _materialize(fn(spark, sf_dir)))
+            all_times.append(wall)
+        if not quiet_times:
+            noisy.append(name)
+        out[name] = round(min(quiet_times or all_times), 3)
     return out
 
 
@@ -100,18 +206,22 @@ def main() -> None:
     entry_mod.queries()["quality_pipeline"](spark, "/root/testdata/sf0.001").count()
 
     t0 = time.perf_counter()
-    per_query = bench_queries(spark, sf_dir)
+    noisy: list[str] = []
+    per_query = bench_queries(spark, sf_dir, noisy)
     wall = round(time.perf_counter() - t0, 3)
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                # the comparable headline: sum of per-query min-of-2
-                # steady-state times (wall includes the warm passes)
+                # the comparable headline: sum of per-query minima over
+                # QUIET runs (wall includes warm passes + noisy retries)
                 "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
                 "queries": per_query,
+                # queries whose every timed run saw >1.5 cores of
+                # external load (their minima are noise-inflated)
+                "noisy_queries": noisy,
                 "wall_sec": wall,
                 "sf": sf,
             }
