@@ -1,0 +1,155 @@
+"""Measures what `compact_state` buys an incremental near-dup run
+(round-4 VERDICT item 7's done-criterion: a post-compact incremental
+run showing the state-read cost drop).
+
+Arrangement: the corpus is committed FRAGMENTED across K epochs (each
+epoch its own bucket range via ``bucket_offset``, the streaming steady
+state — so the signature/edge state for every logical bucket is spread
+over K small files + K manifests). The catalog root is then CLONED:
+clone A keeps the fragmented layout, clone B runs
+``LocalCatalog.compact_state()``. The SAME increment is then run
+against both clones in fresh SparkSessions (cold state reads), and the
+increment wall time + state file counts are reported. Identical input,
+identical state CONTENT, only the on-disk layout differs — the time
+delta is the fragmentation cost compact_state removes.
+
+Usage: python BENCH/compact_effect.py [n_docs] [n_epochs] [--kernel]
+Prints one JSON line; numbers recorded in BENCH/NOTES.md.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def _state_file_count(root: str) -> int:
+    return len(glob.glob(os.path.join(root, "signatures", "**", "*.parquet"), recursive=True)) + len(
+        glob.glob(os.path.join(root, "edges", "**", "*.parquet"), recursive=True)
+    )
+
+
+def main() -> None:
+    import pandas as pd
+
+    from data_quality_with_nessie_spark.catalog import LocalCatalog
+    from data_quality_with_nessie_spark.fixtures import (
+        generate_source_files,
+        input_columns,
+    )
+    from data_quality_with_nessie_spark.pipeline import run
+    from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+    from data_quality_with_nessie_spark.session import get_spark
+
+    use_kernel = "--kernel" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if len(args) > 0 else 12000
+    n_epochs = int(args[1]) if len(args) > 1 else 12
+    # 8 buckets per epoch: the fragmentation under test is the
+    # K-manifests + K*8 small-state-files layout that K epochs leave
+    # behind, not per-bucket row volume
+    n_buckets = 8
+
+    base = input_columns(generate_source_files(n_docs, seed=21))
+    per = max(1, n_docs // n_epochs)
+    inc = base.head(max(1, n_docs // 100)).copy()
+    inc["path"] = "increment/" + inc["path"]
+    inc["content"] = inc["content"] + "\nincrement_marker = 1\n"
+
+    # phase 1: build the fragmented catalog (one session for all epochs)
+    spark = get_spark(app_name="compact-build", master="local[32]", shuffle_partitions=32)
+    root = tempfile.mkdtemp(prefix="compact_frag_")
+    roots = [root]
+    cat = LocalCatalog(root)
+    t0 = time.perf_counter()
+    for e in range(n_epochs):
+        chunk = base.iloc[e * per : (e + 1) * per if e < n_epochs - 1 else len(base)]
+        if chunk.empty:
+            continue
+        run(
+            spark,
+            spark.createDataFrame(chunk, schema=SOURCE_FILES),
+            cat,
+            n_buckets=n_buckets,
+            bucket_offset=e * n_buckets,
+            near_dup=True,
+            near_dup_use_kernel=use_kernel,
+        )
+    build_sec = time.perf_counter() - t0
+    spark.stop()
+
+    results = {
+        "build_epochs_sec": round(build_sec, 2),
+        "fragmented_state_files": _state_file_count(root),
+        "fragmented_manifests": len(LocalCatalog(root)._committed_metric_files()),
+    }
+
+    # phase 2: clone, compact one clone
+    root_c = tempfile.mkdtemp(prefix="compact_done_")
+    roots.append(root_c)
+    shutil.rmtree(root_c)
+    shutil.copytree(root, root_c)
+    t0 = time.perf_counter()
+    summary = LocalCatalog(root_c).compact_state()
+    results["compact_sec"] = round(time.perf_counter() - t0, 2)
+    results["compacted_state_files"] = _state_file_count(root_c)
+    results["compacted_manifests"] = len(LocalCatalog(root_c)._committed_metric_files())
+    results["compact_summary"] = summary
+
+    # phase 3: the SAME increment against both layouts, fresh sessions
+    # (cold state reads — the quantity compaction is supposed to cheapen)
+    kept = {}
+    try:
+        for label, r in (("fragmented", root), ("compacted", root_c)):
+            spark = get_spark(
+                app_name=f"compact-inc-{label}", master="local[32]", shuffle_partitions=32
+            )
+            c = LocalCatalog(r)
+            t0 = time.perf_counter()
+            s = run(
+                spark,
+                spark.createDataFrame(inc, schema=SOURCE_FILES),
+                c,
+                n_buckets=n_buckets,
+                bucket_offset=n_epochs * n_buckets,
+                near_dup=True,
+                near_dup_use_kernel=use_kernel,
+            )
+            results[f"increment_sec_{label}"] = round(time.perf_counter() - t0, 2)
+            results[f"mode_{label}"] = s["near_dup_mode"]
+            kept[label] = c.read_table(spark, "kept").count()
+            spark.stop()
+    finally:
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "compact_state_effect",
+                "sig_family": "kernel64" if use_kernel else "md5-16x4",
+                "n_docs": n_docs,
+                "n_epochs": n_epochs,
+                **results,
+                "kept_equal": kept["fragmented"] == kept["compacted"],
+                "increment_speedup": round(
+                    results["increment_sec_fragmented"]
+                    / max(results["increment_sec_compacted"], 1e-9),
+                    2,
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

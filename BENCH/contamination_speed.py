@@ -69,13 +69,26 @@ def main() -> None:
     starts, lens = offsets[:-1], np.diff(offsets)
     total_mb = int(lens.sum()) / 1e6
 
+    # warm-up + min-of-2 (bench.py discipline): the mapInArrow stage
+    # runs the scanner once per Arrow batch with the probe index
+    # cached across batches, so steady-state per-batch cost is the
+    # quantity a 100 TB run sees; the cold first call additionally
+    # pays the one-time index build (~0.1 s at 10^3 probes, reported
+    # separately below)
     t0 = time.perf_counter()
     rk = contamination_hits_rk_buffers(data, starts, lens, probes)
-    rk_sec = time.perf_counter() - t0
+    rk_cold_sec = time.perf_counter() - t0
+    rk_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rk = contamination_hits_rk_buffers(data, starts, lens, probes)
+        rk_sec = min(rk_sec, time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    ac = contamination_hits_ac(texts, probes)
-    ac_sec = time.perf_counter() - t0
+    ac_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ac = contamination_hits_ac(texts, probes)
+        ac_sec = min(ac_sec, time.perf_counter() - t0)
 
     assert list(rk) == list(ac), "substrate disagreement"
     print(
@@ -86,6 +99,7 @@ def main() -> None:
                 "corpus_mb": round(total_mb, 2),
                 "n_probes": n_probes,
                 "rk_mb_per_sec": round(total_mb / rk_sec, 1),
+                "rk_cold_mb_per_sec": round(total_mb / rk_cold_sec, 1),
                 "ac_mb_per_sec": round(total_mb / ac_sec, 1),
                 "speedup": round(ac_sec / rk_sec, 1),
                 "agree": True,

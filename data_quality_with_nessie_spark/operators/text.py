@@ -10,6 +10,8 @@ oracle can reproduce bit-for-bit.)
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
@@ -213,15 +215,27 @@ _WF_MIX = 0x9E3779B97F4A7C15  # odd 64-bit golden-ratio constant
 _WF_BITS = 24
 
 
+@lru_cache(maxsize=8)
 def _wf_probe_index(probes: tuple[str, ...]):
-    """Build the word-filter probe index.
+    """Build the word-filter probe index (probe-only state, cached —
+    the mapInArrow stage calls the scanner once per Arrow batch, and a
+    rebuild is ~0.1 s at 10³ probes).
 
-    Returns ``(residues, keys, short)`` where ``keys`` maps a raw
-    64-bit window value → list of ``(probe_idx, probe_bytes, delta)``
-    such that the probe occurring at position p puts that window at
-    p + delta, ``residues`` is the set of alignments (mod 8) that must
-    be scanned, and ``short`` lists sub-8-byte probes for the C-level
-    ``bytes.find`` fallback.
+    Returns ``(residues, short, meta, all_kv)``:
+
+    - ``residues`` — the set of alignments (mod 8) the scanner must
+      cover.
+    - ``short`` — ``[(probe_idx, probe_bytes)]`` sub-8-byte probes for
+      the C-level ``bytes.find`` fallback.
+    - ``meta[idx]`` — ``None`` for short probes, else
+      ``(e, s, wvals, cs)``: the utf-8 bytes, the stride, the probe's
+      8-byte window value at every offset (python ints, for dict
+      lookups), and each window's census count (how many probes share
+      it — the anchor tie-break signal).
+    - ``all_kv`` — every distinct window value of every probe as one
+      uint64 array: the scanner's bitmap holds ALL windows, because
+      anchors are chosen per batch from MEASURED corpus hit counts
+      (see :func:`contamination_hits_rk_buffers`).
 
     The guarantee behind the stride: a probe of length m contains an
     8-byte window starting at EVERY offset 0..m-8; scanning only
@@ -232,26 +246,33 @@ def _wf_probe_index(probes: tuple[str, ...]):
     — i.e. m ≥ 8 + s - 1, with anchor free in 0..m-7-s. Probes of
     m ≥ 15 therefore need only the aligned (r = 0) scan, whose window
     array is a plain zero-arithmetic ``.view(uint64)`` of the byte
-    buffer.
+    buffer."""
+    import numpy as np
 
-    The anchor is chosen PER PROBE by greedy min-load over the window
-    values already keyed: real probe lists share long prefixes (eval
-    suites with templated questions, license headers), and keying every
-    probe on its first windows would hand each occurrence of the shared
-    prefix to EVERY sibling probe as a candidate — measured 0.4× the
-    automaton on a 1000-probe shared-prefix list before this fix.
-    Anchoring siblings on their distinct regions keeps candidate
-    attribution O(true occurrences)."""
     enc = [p.encode("utf-8") for p in probes]
     assert all(enc), "empty probe is not a meaningful needle"
-    keys: dict[int, list[tuple[int, bytes, int]]] = {}
-    load: dict[int, int] = {}  # window value → probes already keyed on it
+    # census: #probes containing each window value (set-per-probe so
+    # internal repeats don't count twice) — the index-time proxy for
+    # "templated region", used only as the anchor tie-break
+    census: dict[int, int] = {}
+    per_probe_wvals: list[list[int] | None] = []
+    for e in enc:
+        m = len(e)
+        if m < 8:
+            per_probe_wvals.append(None)
+            continue
+        wvals = [int.from_bytes(e[a : a + 8], "little") for a in range(m - 7)]
+        per_probe_wvals.append(wvals)
+        for w in set(wvals):
+            census[w] = census.get(w, 0) + 1
     residues: set[int] = set()
     short: list[tuple[int, bytes]] = []
+    meta: list = []
     for idx, e in enumerate(enc):
         m = len(e)
         if m < 8:
             short.append((idx, e))
+            meta.append(None)
             continue
         if m >= 15:
             s = 8
@@ -262,18 +283,11 @@ def _wf_probe_index(probes: tuple[str, ...]):
         else:
             s = 1
         residues.update(range(0, 8, s))
-        max_anchor = m - 7 - s
-        best = None
-        for a in sorted({0, max_anchor // 2, max_anchor}):
-            ws = [int.from_bytes(e[a + off : a + off + 8], "little") for off in range(s)]
-            cost = max(load.get(w, 0) for w in ws)
-            if best is None or cost < best[0]:
-                best = (cost, a, ws)
-        _, anchor, ws = best
-        for off, w in enumerate(ws):
-            load[w] = load.get(w, 0) + 1
-            keys.setdefault(w, []).append((idx, e, anchor + off))
-    return residues, keys, short
+        wvals = per_probe_wvals[idx]
+        cs = np.array([census[w] for w in wvals], dtype=np.int64)
+        meta.append((e, s, wvals, cs))
+    all_kv = np.fromiter(census.keys(), dtype=np.uint64, count=len(census))
+    return residues, short, meta, all_kv
 
 
 def contamination_hits_rk_buffers(data, starts, lens, probes: tuple[str, ...]):
@@ -281,20 +295,27 @@ def contamination_hits_rk_buffers(data, starts, lens, probes: tuple[str, ...]):
     buffers — the VECTORIZED scan (round-4 VERDICT item 3).
 
     The per-byte-Python automaton (:func:`contamination_hits_ac`, kept
-    as the semantics twin) is replaced in the hot path by an
-    aligned-word filter: the byte buffer is reinterpreted as uint64
-    words (zero arithmetic), each word is fingerprinted with one
-    multiply-shift into a 2^24 bitmap holding every probe's 8-byte
-    offset-windows, and only bitmap hits — rare, since a random window
-    passes w.p. ≤ |keys|/2^24 and true hits are bounded by actual
-    probe occurrences — are exactly verified (full probe bytes +
-    in-doc bounds). Probes of length ≥ 15 need only the 8-aligned scan
-    (~3 vector ops over n/8 words ≈ 0.4 ops/byte); shorter probes add
-    shifted-word residue scans (see :func:`_wf_probe_index`), and
-    sub-8-byte probes fall back to C-level ``bytes.find`` per probe.
-    Equal bytes ⇒ equal word ⇒ bitmap hit, so recall is exact;
-    precision comes from the verify. A chunked tail/short-buffer pass
-    with ``bytes.find`` covers the last partial word."""
+    as the semantics twin) is replaced in the hot path by a
+    CORPUS-ADAPTIVE aligned-word filter: the byte buffer is
+    reinterpreted as uint64 words (zero arithmetic), each word is
+    fingerprinted with one multiply-shift into a 2^24 bitmap holding
+    EVERY probe's 8-byte offset-windows, and hit positions are
+    recorded per window value (phase 1, no per-probe fan-out). Each
+    probe is then anchored on the window group with the fewest
+    MEASURED corpus hits (phase 2) — index-time statistics cannot know
+    which probe-shared templated region the corpus contains, and two
+    designs anchored on index-only signals measured ~1× the automaton
+    on shared-stem suites (`BENCH/NOTES.md`, round 5). Probes none of
+    whose windows hit are dropped immediately; surviving candidates
+    pass a batched confirm-word gather (one unaligned uint64 compare
+    at the probe's corpus-rarest window) before the exact verify
+    (full probe bytes + in-doc bounds). Probes of length ≥ 15 need
+    only the 8-aligned scan (~3 vector ops over n/8 words ≈ 0.4
+    ops/byte); shorter probes add shifted-word residue scans (see
+    :func:`_wf_probe_index`), and sub-8-byte probes fall back to
+    C-level ``bytes.find`` per probe. Equal bytes ⇒ equal word ⇒
+    bitmap hit, so recall is exact; precision comes from the verify.
+    A ``bytes.find`` tail pass covers the last partial word."""
     import numpy as np
 
     n_docs = len(starts)
@@ -302,7 +323,7 @@ def contamination_hits_rk_buffers(data, starts, lens, probes: tuple[str, ...]):
     n = len(data)
     if n == 0 or n_docs == 0:
         return counts
-    residues, keys, short = _wf_probe_index(probes)
+    residues, short, meta, all_kv = _wf_probe_index(probes)
     starts = np.asarray(starts)
     ends = starts + np.asarray(lens)
     n_probes = len(probes)
@@ -352,15 +373,45 @@ def contamination_hits_rk_buffers(data, starts, lens, probes: tuple[str, ...]):
         if codes:
             pair_codes.append(np.asarray(codes, dtype=np.int64))
 
-    if keys and n >= 16:
+    long_probes = [(idx, mt) for idx, mt in enumerate(meta) if mt is not None]
+    if long_probes and n >= 16:
         n_words = n // 8
         try:
             words = data[: n_words * 8].view(np.uint64)
         except ValueError:  # unaligned base buffer — one copy, still vectorized
             words = np.ascontiguousarray(data[: n_words * 8]).view(np.uint64)
+
+        # lazily-built shifted word arrays for UNALIGNED uint64 gathers:
+        # shifted[r][k] = the word at byte 8k+r. Built once per residue
+        # actually touched by a confirm lookup (≤7 extra passes over the
+        # word array, amortized across every candidate in the batch).
+        shifted: list = [words] + [None] * 7
+        conf_lim = 8 * n_words - 8  # max byte position readable as a word
+
+        def _word_at(pos):
+            """uint64 values at arbitrary byte positions (0 ≤ pos ≤ conf_lim)."""
+            out = np.empty(len(pos), dtype=np.uint64)
+            r = (pos & 7).astype(np.int64)
+            q = pos >> 3
+            for rv in range(8):
+                sel = np.nonzero(r == rv)[0]
+                if not len(sel):
+                    continue
+                if shifted[rv] is None:
+                    sh, inv = np.uint64(8 * rv), np.uint64(64 - 8 * rv)
+                    shifted[rv] = (words[:-1] >> sh) | (words[1:] << inv)
+                out[sel] = shifted[rv][q[sel]]
+            return out
+
+        # PHASE 1 — one bitmap scan holding EVERY window of every
+        # probe, recording hit positions grouped by window VALUE.
+        # No per-probe fan-out happens here: the output is a
+        # hit-position dict, so a window shared by 100 sibling probes
+        # (templated eval suites) or occurring 10^4 times in the
+        # corpus costs its hit volume ONCE.
         bitmap = np.zeros(1 << _WF_BITS, dtype=bool)
-        kv = np.fromiter(keys.keys(), dtype=np.uint64, count=len(keys))
-        bitmap[(kv * np.uint64(_WF_MIX)) >> np.uint64(64 - _WF_BITS)] = True
+        bitmap[(all_kv * np.uint64(_WF_MIX)) >> np.uint64(64 - _WF_BITS)] = True
+        hitpos: dict[int, list] = {}
         for r in sorted(residues):
             if r == 0:
                 wr = words[:-1]  # drop last word: parity with shifted forms
@@ -370,21 +421,78 @@ def contamination_hits_rk_buffers(data, starts, lens, probes: tuple[str, ...]):
             hit = np.nonzero(bitmap[(wr * np.uint64(_WF_MIX)) >> np.uint64(64 - _WF_BITS)])[0]
             if not len(hit):
                 continue
-            # group candidate positions by window VALUE (sort + run
-            # boundaries); the loop is over DISTINCT colliding windows
-            # (≤ |keys|) and only APPENDS position slices per probe
+            # group hit positions by window VALUE (sort + run
+            # boundaries); 24-bit fingerprint collisions land in the
+            # dict too but are never looked up (phase 2 queries true
+            # window values only)
             wv = wr[hit]
             order = np.argsort(wv, kind="stable")
             wv, hit = wv[order], hit[order]
             bounds = np.nonzero(np.r_[True, wv[1:] != wv[:-1]])[0]
             for gi, g0 in enumerate(bounds):
-                entries = keys.get(int(wv[g0]))
-                if not entries:  # 24-bit fingerprint collision
-                    continue
                 g1 = bounds[gi + 1] if gi + 1 < len(bounds) else len(wv)
-                win_pos = 8 * hit[g0:g1].astype(np.int64) + r
-                for idx, _, off in entries:
-                    cand.setdefault(idx, []).append(win_pos - off)
+                hitpos.setdefault(int(wv[g0]), []).append(8 * hit[g0:g1].astype(np.int64) + r)
+        hc = {w: sum(len(c) for c in chunks) for w, chunks in hitpos.items()}
+
+        # PHASE 2 — corpus-adaptive anchoring: each probe keys on the
+        # anchor group whose windows have the FEWEST measured corpus
+        # hits (census = #sibling probes sharing the window breaks
+        # ties). Index-time heuristics cannot know which shared region
+        # actually occurs in the corpus — a 1000-probe suite sharing a
+        # question stem that is ALSO common corpus text measured ~1×
+        # the automaton under census-only anchoring; measured-hit
+        # anchoring picks each probe's corpus-rare region instead, so
+        # candidates ≈ true occurrences. A probe none of whose windows
+        # hit anywhere cannot occur (outside the tail) and costs
+        # nothing further. Each probe also gets a CONFIRM window — its
+        # corpus-rarest window — compared as one uint64 gather per
+        # candidate before the full verify.
+        pend_pos: list = []  # candidate probe-start positions
+        pend_idx: list = []  # matching probe ids
+        conf_off = np.zeros(n_probes, dtype=np.int64)
+        conf_word = np.zeros(n_probes, dtype=np.uint64)
+        for idx, (e, s, wvals, cs) in long_probes:
+            hcs = np.fromiter((hc.get(w, 0) for w in wvals), dtype=np.int64, count=len(wvals))
+            if not hcs.any():
+                continue
+            hsum = np.concatenate(([0], np.cumsum(hcs)))
+            hs_group = hsum[s:] - hsum[:-s]  # sliding sum, one per anchor
+            csum = np.concatenate(([0], np.cumsum(cs)))
+            cs_group = csum[s:] - csum[:-s]
+            amin = np.flatnonzero(hs_group == hs_group.min())
+            a = int(amin[np.argmin(cs_group[amin])])
+            for off in range(s):
+                for c in hitpos.get(wvals[a + off], ()):
+                    pend_pos.append(c - (a + off))
+                    pend_idx.append(np.full(len(c), idx, dtype=np.int64))
+            cmin = np.flatnonzero(hcs == hcs.min())
+            cmin = cmin[cs[cmin] == cs[cmin].min()]
+            co = int(cmin[np.argmax(np.abs(cmin - a))])
+            conf_off[idx] = co
+            conf_word[idx] = np.uint64(wvals[co])
+        # ONE batched CONFIRM pass over every pending candidate: gather
+        # the uint64 at each candidate's confirm window and compare —
+        # residual key sharing costs one word compare per candidate,
+        # not an m-byte verify row. Out-of-span confirm positions
+        # defer to the exact verify.
+        if pend_pos:
+            p_all = np.concatenate(pend_pos)
+            i_all = np.concatenate(pend_idx)
+            cp = p_all + conf_off[i_all]
+            del pend_pos, pend_idx
+            inb = (cp >= 0) & (cp <= conf_lim)
+            keep = ~inb
+            ib = np.nonzero(inb)[0]
+            if len(ib):
+                keep[ib[_word_at(cp[ib]) == conf_word[i_all[ib]]]] = True
+            p_all, i_all = p_all[keep], i_all[keep]
+            if len(i_all):
+                order = np.argsort(i_all, kind="stable")
+                p_all, i_all = p_all[order], i_all[order]
+                ibounds = np.nonzero(np.r_[True, i_all[1:] != i_all[:-1]])[0]
+                for bi, b0 in enumerate(ibounds):
+                    b1 = ibounds[bi + 1] if bi + 1 < len(ibounds) else len(i_all)
+                    cand[int(i_all[b0])] = [p_all[b0:b1]]
         # ONE exact verify per probe over all its candidates (matrix
         # byte-compare), then one attribution pass
         for idx, chunks in cand.items():
@@ -394,30 +502,19 @@ def contamination_hits_rk_buffers(data, starts, lens, probes: tuple[str, ...]):
             pos = pos[(pos >= 0) & (pos + m <= n)]
             if not len(pos):
                 continue
-            if len(chunks) > 1:
-                pos = np.unique(pos)  # offset variants can alias a position
+            pos = np.unique(pos)  # union residues can alias a position
             pat = np.frombuffer(e, dtype=np.uint8)
             ok = (data[pos[:, None] + np.arange(m)] == pat).all(axis=1)
             _attribute(pos[ok], idx, m)
         # tail: positions whose window would need the dropped last
-        # partial word — re-scan the final stretch with exact find
-        # (one find per probe: dedupe the per-offset key entries first;
-        # a probe's key delta is ≤ m-8 < max_m, so tail_lo still covers
-        # every occurrence whose key window was dropped)
-        max_m = max(len(e) for v in keys.values() for _, e, _ in v)
+        # partial word — re-scan the final stretch with exact find,
+        # one find per long probe (the range is ~max_m bytes)
+        max_m = max(len(e) for _, (e, _, _, _) in long_probes)
         tail_lo = max(0, 8 * (n_words - 1) - max_m)
-        probe_bytes: dict[int, bytes] = {}
-        for v in keys.values():
-            for idx, e, _ in v:
-                probe_bytes.setdefault(idx, e)
-        for idx, e in probe_bytes.items():
+        for idx, (e, _, _, _) in long_probes:
             _find_all(idx, e, tail_lo, n)
-    elif keys:  # buffer shorter than two words — find everything exactly
-        probe_bytes = {}
-        for v in keys.values():
-            for idx, e, _ in v:
-                probe_bytes.setdefault(idx, e)
-        for idx, e in probe_bytes.items():
+    elif long_probes:  # buffer shorter than two words — find everything exactly
+        for idx, (e, _, _, _) in long_probes:
             _find_all(idx, e, 0, n)
 
     for idx, e in short:
