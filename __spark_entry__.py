@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": T.stratified_sample,
         "length_quantiles": T.length_quantiles,
         "vocab_top_tokens": T.vocab_top_tokens,
+        "toxicity_screen": T.toxicity_screen,
+        "toxicity_scrub": T.toxicity_scrub,
         "quality_filter_documents": T.quality_filter_documents,
         # --- events / windowed analytics ---
         "sessionize": E.sessionize,
@@ -781,6 +783,26 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.9), 4) AS tokens_p90,
                    round(quantile_cont(n_tokens, 0.99), 4) AS tokens_p99
             FROM b GROUP BY lang
+        """,
+        "toxicity_screen": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN ('slow','dup','small'))) AS n_toxic,
+                   round(len(list_filter(toks, x -> x IN ('slow','dup','small')))::DOUBLE
+                         / len(toks), 6) AS toxicity_ratio,
+                   round(len(list_filter(toks, x -> x IN ('slow','dup','small')))::DOUBLE
+                         / len(toks), 6) > 0.08 AS flag_toxic
+            FROM t
+        """,
+        "toxicity_scrub": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '(?i)\\b(slow|dup|small)\\b')) AS n_masked,
+                   coalesce(regexp_replace(text, '(?i)\\b(slow|dup|small)\\b', '[TOXIC]', 'g')
+                            != text, FALSE) AS changed,
+                   sha256(regexp_replace(text, '(?i)\\b(slow|dup|small)\\b', '[TOXIC]', 'g'))
+                     AS scrubbed_sha256
+            FROM documents
         """,
         "warn_rates": """
             WITH w AS (

@@ -683,6 +683,67 @@ def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Test lexicon anchored on the synthetic fixture's vocabulary (same
+# precedent as the contamination probes: the machinery is real, the
+# needle content is fixture-anchored so the oracle row is non-trivial);
+# production callers pass a real toxicity lexicon.
+TEST_TOXICITY_LEXICON: tuple[str, ...] = ("slow", "dup", "small")
+TOXICITY_FLAG_RATIO = 0.08
+
+
+def toxicity_screen(
+    spark: SparkSession,
+    sf_dir: str,
+    lexicon: tuple[str, ...] = TEST_TOXICITY_LEXICON,
+    flag_ratio: float = TOXICITY_FLAG_RATIO,
+) -> DataFrame:
+    """Per-doc toxicity score: fraction of whitespace tokens in the
+    lexicon (north rule's toxicity screen — the scoring half; masking is
+    :func:`toxicity_scrub`, the pipeline warn channel is
+    ``run(toxicity_lexicon=...)``). Pure narrow expressions — token
+    split + HOF filter, whole-stage codegen, no shuffle, no UDF — so the
+    scan cost is the read itself at any scale; the lexicon broadcasts as
+    a literal array (word lists are KBs, never a join)."""
+    docs = _docs(spark, sf_dir)
+    lex = F.array(*[F.lit(w.lower()) for w in lexicon])
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_toxic = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+    ratio = F.round(n_toxic.cast("double") / n_tokens, 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_toxic.alias("n_toxic"),
+        ratio.alias("toxicity_ratio"),
+        (ratio > F.lit(flag_ratio)).alias("flag_toxic"),
+    )
+
+
+def toxicity_scrub(
+    spark: SparkSession,
+    sf_dir: str,
+    lexicon: tuple[str, ...] = TEST_TOXICITY_LEXICON,
+) -> DataFrame:
+    """Word-bounded lexicon masking (north rule's toxicity-scrub half):
+    every case-insensitive whole-word lexicon hit becomes ``[TOXIC]``,
+    verified the same way as the PII scrub — by content hash
+    (``scrubbed_sha256``) so byte-identical masking is oracle-checkable.
+    ONE compiled regex alternation per task (C-level scan, the
+    engine-portable pattern from ``rules.heuristics.toxicity_pattern``);
+    like the PII scrub this is embarrassingly parallel — no shuffle."""
+    from ..rules.heuristics import toxicity_pattern
+
+    docs = _docs(spark, sf_dir)
+    pat = toxicity_pattern(lexicon)
+    masked = F.regexp_replace(F.col("text"), pat, "[TOXIC]")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).alias("n_masked"),
+        (F.coalesce(masked != F.col("text"), F.lit(False))).alias("changed"),
+        F.sha2(masked, 256).alias("scrubbed_sha256"),
+    )
+
+
 def length_quantiles(
     spark: SparkSession,
     sf_dir: str,

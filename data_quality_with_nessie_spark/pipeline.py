@@ -77,7 +77,12 @@ def _score_scrub_batches(batches):
         lang = batch.column(batch.schema.get_field_index("lang"))
         langid_fired, ppl_fired = kernel.score_arrow(content, lang)
         warn_long, warn_alnum = kernel.warn_flags_arrow(content)
-        scrubbed = scrub_arrow(content)
+        # SPARSE ship-back (round 5): null ⇔ the scrub changed nothing,
+        # so a mostly-clean corpus (~85% of rows on the bench fixture)
+        # does not pay to ship its content across the Arrow socket
+        # twice; classify() restores the full value with one JVM-side
+        # coalesce(scrubbed_content, content).
+        scrubbed = scrub_arrow(content, sparse=True)
         arrays = list(batch.columns) + [
             pa.array(langid_fired),
             pa.array(ppl_fired),
@@ -150,11 +155,18 @@ def classify(
     keep = ~F.array_contains(
         F.array(*[F.col(f"rule_{n}") for n in names]), F.lit(True)
     )
+    # the python stage ships scrubbed_content SPARSELY (null ⇔ no scrub
+    # hit); this coalesce restores the full-value contract for every
+    # downstream consumer (kept table, staged parquet, goldens) at the
+    # cost of one codegen expression instead of ~85% redundant bytes on
+    # the Arrow socket
+    scrubbed_full = F.coalesce(F.col("scrubbed_content"), F.col("content"))
     return flagged.select(
-        "*",
+        *[c for c in flagged.columns if c != "scrubbed_content"],
+        scrubbed_full.alias("scrubbed_content"),
         keep.alias("keep"),
         reasons_column(names).alias("rejection_reasons"),
-        F.sha2(F.col("scrubbed_content"), 256).alias("scrubbed_sha256"),
+        F.sha2(scrubbed_full, 256).alias("scrubbed_sha256"),
     )
 
 
@@ -440,6 +452,7 @@ def run(
     cluster_max_iter: int = 50,
     staged_write: bool = True,
     commit_group_size: int = 1,
+    toxicity_lexicon: tuple[str, ...] | None = None,
 ) -> dict:
     """One resumable pipeline run. Returns a summary dict.
 
@@ -624,6 +637,20 @@ def run(
         nd_stats = {}
     classified = classify(pending, n_buckets, bucketed=True, drop_ids=drop_ids)
 
+    # opt-in toxicity WARN (north rule's toxicity screen): one native
+    # rlike over content — whole-stage-codegen, rides the same plan pass
+    # as the rule columns; observational (never drops), counted into
+    # lineage like every warn rule. Off (None) by default so the default
+    # job is byte-identical with or without the feature.
+    warn_names = WARN_RULE_NAMES
+    if toxicity_lexicon:
+        from .rules.heuristics import spark_warn_toxicity
+
+        classified = classified.withColumn(
+            "warn_toxicity", spark_warn_toxicity(F.col("content"), toxicity_lexicon)
+        )
+        warn_names = WARN_RULE_NAMES + ("toxicity",)
+
     kept_cols = INPUT_COLS + ["content_sha256", "scrubbed_content", "scrubbed_sha256", "bucket"]
     quarantine_cols = INPUT_COLS + ["content_sha256", "rejection_reasons", "bucket"]
 
@@ -669,7 +696,7 @@ def run(
             ],
             *[
                 F.sum(F.col(f"warn_{n}").cast("long")).alias(f"hits_warn_{n}")
-                for n in WARN_RULE_NAMES
+                for n in warn_names
             ],
         ]
         stats = {r["bucket"]: r.asDict() for r in scored.groupBy("bucket").agg(*aggs).collect()}
@@ -691,7 +718,7 @@ def run(
                         **{n: int(stats[b][f"hits_{n}"] or 0) for n in rule_names},
                         **{
                             f"warn_{n}": int(stats[b][f"hits_warn_{n}"] or 0)
-                            for n in WARN_RULE_NAMES
+                            for n in warn_names
                         },
                     },
                     "started_at": started,

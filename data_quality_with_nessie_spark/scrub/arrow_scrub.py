@@ -6,24 +6,91 @@ Byte-identity with the frozen Python-``re`` implementation
 cross-checks both paths on the fixture corpus and adversarial cases) —
 the patterns use only constructs with identical semantics in both
 engines (no lookaround, no backtracking-dependent alternation).
+
+CANDIDATE-ROW EXECUTION (round 5): the original form ran every pattern
+as a full-column ``replace_substring_regex`` — five RE2 scans over
+100% of the corpus bytes and five full string-column rebuilds per
+batch, when only ~15% of rows contain ANY scrubbable content and ~35%
+contain even a necessary literal (measured on the bench fixture). Now
+ONE combined RE2 scan (the union of every pattern's regex-provable
+necessary condition: ``@``, ``AKIA``, ``-----BEGIN``, digit-dot-digit,
+case-insensitive ``key|secret|token|passw``) selects candidate rows;
+the ordered five-pattern chain runs on that subset only; and one
+chunked ``take`` scatters the rows the chain actually changed back
+into the column. Byte-identical by construction: a non-candidate row
+contains no pattern's necessary literal, is never modified, and
+therefore can never come to match a later pattern — while candidate
+rows see the exact sequential earlier-pattern-wins chain of the spec.
+Cost ≈ 1 full scan + 5 scans of ~35% of bytes + 1 rebuild, vs 5 full
+scans + 5 rebuilds. (A per-pattern prefilter variant measured SLOWER
+than the original — its 4 ``ignore_case`` literal scans for api_token
+alone outweighed the saved replaces; one automaton scan is the form
+that wins. Measured A/B in BENCH/NOTES.md.)
+
+``sparse=True`` returns null for every row the scrub did not change —
+the pipeline ships THAT across the python→JVM Arrow socket and
+restores the full value with a JVM-side
+``coalesce(scrubbed_content, content)`` (``pipeline.classify``), so a
+mostly-clean corpus no longer pays to ship its content twice.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .patterns import SCRUB_PATTERNS
 
-_RE2: list[tuple[str, str]] = [
-    (("(?i)" + pat) if name == "api_token" else pat, repl)
+_RE2: list[tuple[str, str, str]] = [
+    (name, ("(?i)" + pat) if name == "api_token" else pat, repl)
     for name, pat, repl in SCRUB_PATTERNS
 ]
 
+# ONE regex whose language CONTAINS every pattern's necessary condition
+# (regex-provable from patterns.SCRUB_PATTERNS): email ⇒ '@',
+# aws_key ⇒ 'AKIA', private_key_block ⇒ '-----BEGIN', ipv4 ⇒ a
+# digit-dot-digit, api_token ⇒ one of the (?i) name literals ('key'
+# covers api_key/apikey; 'passw' covers passwd/password). Over-matching
+# is safe (candidates the chain leaves unchanged are detected by the
+# final equality compare); under-matching would break byte-identity.
+_CANDIDATE_RE = r"@|AKIA|-----BEGIN|[0-9]\.[0-9]|(?i:key|secret|token|passw)"
 
-def scrub_arrow(arr: pa.Array) -> pa.Array:
+
+def scrub_arrow(arr: pa.Array, sparse: bool = False) -> pa.Array:
     """Ordered global replacement over an Arrow string array.
-    Nulls pass through (null-field rule quarantines them)."""
-    for pat, repl in _RE2:
-        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
-    return arr
+    Nulls pass through (null-field rule quarantines them).
+    ``sparse=True`` returns null wherever the scrub changed nothing —
+    see module docstring."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    mask = (
+        pc.match_substring_regex(arr, _CANDIDATE_RE)
+        .fill_null(False)
+        .to_numpy(zero_copy_only=False)
+    )
+    if not mask.any():
+        return pa.nulls(n, type=arr.type) if sparse else arr
+    idx = np.flatnonzero(mask)
+    small = pc.take(arr, pa.array(idx, type=pa.int64()))
+    rep = small
+    for _, pat, repl in _RE2:
+        rep = pc.replace_substring_regex(rep, pattern=pat, replacement=repl)
+    same = pc.equal(rep, small).fill_null(True).to_numpy(zero_copy_only=False)
+    if same.all():
+        return pa.nulls(n, type=arr.type) if sparse else arr
+    sub = np.flatnonzero(~same)
+    really = idx[sub]  # rows the chain actually changed
+    if sparse:
+        # null everywhere except the really-changed rows: one take with
+        # a null-masked index vector — output bytes ≈ the dirty rows
+        pos = np.zeros(n, dtype=np.int64)
+        pos[really] = sub
+        valid = np.zeros(n, dtype=bool)
+        valid[really] = True
+        return pc.take(rep, pa.array(pos, type=pa.int64(), mask=~valid))
+    full_idx = np.arange(n, dtype=np.int64)
+    full_idx[really] = n + sub
+    out = pc.take(pa.chunked_array([arr, rep]), pa.array(full_idx, type=pa.int64()))
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out

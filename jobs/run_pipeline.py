@@ -91,6 +91,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "manifest count stays bounded)",
     )
     p.add_argument(
+        "--toxicity-lexicon",
+        default=None,
+        help="comma-separated word list; enables the toxicity WARN "
+        "channel (observational — counts into lineage as "
+        "hits_warn_toxicity, never drops; see operators.text."
+        "toxicity_scrub for masking)",
+    )
+    p.add_argument(
         "--persist-cache",
         action="store_true",
         help="cache the classified frame instead of the default combined "
@@ -159,6 +167,11 @@ def main(argv: list[str] | None = None) -> dict:
         cluster_max_iter=args.cluster_max_iter,
         staged_write=not args.persist_cache,
         commit_group_size=group_size,
+        toxicity_lexicon=(
+            tuple(w for w in args.toxicity_lexicon.split(",") if w)
+            if args.toxicity_lexicon
+            else None
+        ),
     )
     summary["commit_group_size"] = group_size
     print(json.dumps(summary))

@@ -65,3 +65,27 @@ def test_series_matches_scalar_byte_identical(input_pdf):
 def test_scrub_hits_counts():
     hits = scrub_hits("a@b.co c@d.io 10.0.0.1")
     assert hits == {"email": 2, "ipv4": 1}
+
+
+def test_arrow_full_and_sparse_byte_identical(input_pdf):
+    """The row-granular Arrow scrub (round 5) must stay byte-identical
+    to the frozen python spec, and sparse mode must be exactly
+    'null ⇔ unchanged' so the pipeline's JVM-side coalesce restores the
+    full contract."""
+    import pyarrow as pa
+
+    from data_quality_with_nessie_spark.scrub.arrow_scrub import scrub_arrow
+
+    contents = input_pdf["content"].head(800)
+    arr = pa.array(contents, type=pa.string())
+    full = scrub_arrow(arr)
+    sparse = scrub_arrow(arr, sparse=True)
+    for i, c in enumerate(contents):
+        expected = scrub_text(c) if isinstance(c, str) else None
+        assert full[i].as_py() == expected
+        want_sparse = expected if (isinstance(c, str) and expected != c) else None
+        assert sparse[i].as_py() == want_sparse
+    # at least some of the fixture is dirty AND most of it is clean —
+    # both paths exercised
+    n_dirty = sum(sparse[i].is_valid for i in range(len(contents)))
+    assert 0 < n_dirty < len(contents)

@@ -1,0 +1,124 @@
+"""Toxicity screen / scrub / pipeline WARN channel (north rule's
+"PII/toxicity-scrub": the toxicity half — the PII half is tests/
+test_scrub.py). The screen and scrub operators are oracled at sf0.001
+by tests/test_operators_oracle.py; here: word-boundary semantics,
+Spark↔pandas twin parity, and the opt-in pipeline warn channel that
+must NOT change keep/drop or the lineage contract of a default run."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_with_nessie_spark.catalog import LocalCatalog
+from data_quality_with_nessie_spark.pipeline import run
+from data_quality_with_nessie_spark.rules import heuristics as H
+from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+
+LEX = ("slow", "dup", "small")
+
+
+def test_toxicity_pattern_word_bounded(spark):
+    rows = pd.DataFrame(
+        {
+            "content": [
+                "a slow join",          # plain hit
+                "Slow start",           # case-insensitive hit
+                "slowly but surely",    # substring, no word boundary → miss
+                "dedup pipeline",       # 'dup' inside a word → miss
+                "dup",                  # whole content is the word
+                "tail.dup",             # punctuation IS a boundary
+                "日本語 slow テキスト",   # multibyte neighbors
+                "",                     # empty
+                None,                   # null → False, not null
+            ]
+        }
+    )
+    expect = [True, True, False, False, True, True, True, False, False]
+
+    got_pd = H.pd_warn_toxicity(rows["content"], LEX).tolist()
+    assert got_pd == expect
+
+    sdf = spark.createDataFrame(rows, schema="content string")
+    got_spark = [
+        bool(r["w"]) if r["w"] is not None else False
+        for r in sdf.select(
+            H.spark_warn_toxicity(F.col("content"), LEX).alias("w")
+        ).collect()
+    ]
+    assert got_spark == expect
+
+
+def test_toxicity_pattern_escapes_metachars():
+    # a lexicon entry with regex metacharacters must match literally
+    s = pd.Series(["call a.b now", "call aXb now"])
+    got = H.pd_warn_toxicity(s, ("a.b",)).tolist()
+    assert got == [True, False]
+
+
+@pytest.fixture()
+def toxic_pdf(input_pdf) -> pd.DataFrame:
+    base = input_pdf.head(120).copy()
+    extra = pd.DataFrame(
+        {
+            "repo": ["toxrepo"] * 2,
+            "path": ["tox/hit.py", "tox/clean.py"],
+            "commit": ["e" * 40, "f" * 40],
+            "lang": ["python", "python"],
+            "content": [
+                "this is a slow and dup heavy file with enough length to keep",
+                "perfectly ordinary content with enough length to keep it here",
+            ],
+        }
+    )
+    return pd.concat([base, extra], ignore_index=True)
+
+
+def test_pipeline_toxicity_warn_lineage(spark, toxic_pdf, tmp_path):
+    sdf = spark.createDataFrame(toxic_pdf, schema=SOURCE_FILES)
+
+    # default run: NO toxicity column anywhere, lineage keys unchanged
+    cat0 = LocalCatalog(str(tmp_path / "plain"))
+    run(spark, sdf, cat0, n_buckets=4)
+    hits0 = [dict(h) for h in cat0.metrics_df(spark).toPandas()["rule_hits"]]
+    assert not any("warn_toxicity" in h for h in hits0)
+
+    # opt-in run: warn counted in lineage, keep/drop byte-identical
+    cat1 = LocalCatalog(str(tmp_path / "tox"))
+    run(spark, sdf, cat1, n_buckets=4, toxicity_lexicon=LEX)
+    hits1 = [dict(h) for h in cat1.metrics_df(spark).toPandas()["rule_hits"]]
+    total = sum(h.get("warn_toxicity", 0) for h in hits1)
+    expected = int(H.pd_warn_toxicity(toxic_pdf["content"], LEX).sum())
+    assert total == expected
+    assert total > 0, "toxicity warn never fired on the fixture"
+
+    kept0 = cat0.read_table(spark, "kept").toPandas()
+    kept1 = cat1.read_table(spark, "kept").toPandas()
+    key = ["repo", "path", "commit"]
+    assert sorted(map(tuple, kept0[key].values.tolist())) == sorted(
+        map(tuple, kept1[key].values.tolist())
+    )
+    assert "tox/hit.py" in set(kept1["path"])  # warn never drops
+
+
+def test_toxicity_scrub_masks_exactly(spark):
+    from data_quality_with_nessie_spark.operators.text import toxicity_scrub
+
+    # build a tiny documents dir so the operator's _docs reader works
+    import os
+
+    d = "/root/testdata/sf0.001"
+    out = toxicity_scrub(spark, d, lexicon=LEX).toPandas()
+    docs = pd.read_parquet(os.path.join(d, "documents.parquet"))
+    import hashlib
+    import re
+
+    pat = re.compile(H.toxicity_pattern(LEX))
+    for _, r in docs.head(50).iterrows():
+        masked = pat.sub("[TOXIC]", r["text"]) if r["text"] is not None else None
+        row = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        if masked is None:
+            assert row["scrubbed_sha256"] is None
+            continue
+        assert row["scrubbed_sha256"] == hashlib.sha256(masked.encode()).hexdigest()
+        assert row["n_masked"] == len(pat.findall(r["text"]))
+        assert bool(row["changed"]) == (masked != r["text"])
