@@ -16,7 +16,13 @@ reprocesses — measured 156 s vs 104 s full at 6k docs, i.e. WORSE. The
 bucket-offset epoch mechanism exists precisely so appends land in fresh
 buckets.)
 
-Usage: python BENCH/incremental_neardup.py [n_docs] [increment_fraction] [--kernel]
+Usage: python BENCH/incremental_neardup.py [n_docs] [increment_fraction]
+           [--kernel] [--tiled T] [--max-bucket N] [--scratch-only]
+
+``--max-bucket N`` threads the hot-bucket cap to every run (0 = uncapped;
+default 5000 = the pipeline default). ``--scratch-only`` skips the epoch
+arrangement and times ONE from-scratch near-dup run on the base corpus —
+the completion experiment for organically dense workloads (plain 60k).
 ``--kernel`` runs the near-dup pre-pass under the zero-shuffle int64
 kernel family (round 4) — REQUIRED at 60k+ docs on this host: the
 md5/explode spec's shingle-stream shuffle spill exceeded the ~79 GB of
@@ -52,13 +58,19 @@ def main() -> None:
     from data_quality_with_nessie_spark.session import get_spark
 
     use_kernel = "--kernel" in sys.argv
+    scratch_only = "--scratch-only" in sys.argv
     tiles = 0
     if "--tiled" in sys.argv:
         tiles = int(sys.argv[sys.argv.index("--tiled") + 1])
+    max_bucket: int | None = 5000  # the pipeline default
+    if "--max-bucket" in sys.argv:
+        mb = int(sys.argv[sys.argv.index("--max-bucket") + 1])
+        max_bucket = mb if mb > 0 else None
+    _flag_args = ("--tiled", "--max-bucket")
     args = [
         a
         for i, a in enumerate(sys.argv[1:], 1)
-        if not a.startswith("--") and sys.argv[i - 1] != "--tiled"
+        if not a.startswith("--") and sys.argv[i - 1] not in _flag_args
     ]
     n_docs = int(args[0]) if len(args) > 0 else 20000
     frac = float(args[1]) if len(args) > 1 else 0.01
@@ -103,13 +115,55 @@ def main() -> None:
     results = {}
     roots = []
     n_buckets = 64
+
+    if scratch_only:
+        # ONE from-scratch near-dup run on the base corpus — the
+        # completion experiment for workloads whose organic near-dup
+        # density previously died on disk (plain 60k fixture,
+        # NOTES.md): does the collapse+cap round-5 pre-pass bound it?
+        root = tempfile.mkdtemp(prefix="incr_nd_scratchonly_")
+        try:
+            cat = LocalCatalog(root)
+            t0 = time.perf_counter()
+            s = run(
+                spark,
+                sdf_base,
+                cat,
+                n_buckets=n_buckets,
+                near_dup=True,
+                near_dup_use_kernel=use_kernel,
+                near_dup_max_bucket=max_bucket,
+            )
+            scratch = time.perf_counter() - t0
+            kept = cat.read_table(spark, "kept").count()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "metric": "neardup_from_scratch_completion",
+                    "sig_family": "kernel64" if use_kernel else "md5-16x4",
+                    "tiles": tiles,
+                    "n_docs": n_docs,
+                    "max_bucket": max_bucket,
+                    "from_scratch_sec": round(scratch, 2),
+                    "rows_kept": int(kept),
+                    "capped_buckets": s.get("near_dup_capped_buckets", 0),
+                    "dropped_sig_rows": s.get("near_dup_dropped_sig_rows", 0),
+                    "affected_docs": s.get("near_dup_affected_docs", 0),
+                }
+            )
+        )
+        spark.stop()
+        return
+
     try:
         # epoch arrangement: corpus in epoch 0, increment in epoch 1
         root = tempfile.mkdtemp(prefix="incr_nd_epoch_")
         roots.append(root)
         cat = LocalCatalog(root)
         t0 = time.perf_counter()
-        run(spark, sdf_base, cat, n_buckets=n_buckets, near_dup=True, near_dup_use_kernel=use_kernel)
+        run(spark, sdf_base, cat, n_buckets=n_buckets, near_dup=True, near_dup_use_kernel=use_kernel, near_dup_max_bucket=max_bucket)
         first = time.perf_counter() - t0
         t0 = time.perf_counter()
         s = run(
@@ -120,6 +174,7 @@ def main() -> None:
             bucket_offset=n_buckets,
             near_dup=True,
             near_dup_use_kernel=use_kernel,
+            near_dup_max_bucket=max_bucket,
         )
         second = time.perf_counter() - t0
         results["incremental_epoch"] = {
@@ -145,7 +200,7 @@ def main() -> None:
         roots.append(root2)
         cat2 = LocalCatalog(root2)
         t0 = time.perf_counter()
-        run(spark, sdf_grown, cat2, n_buckets=n_buckets, near_dup=True, near_dup_use_kernel=use_kernel)
+        run(spark, sdf_grown, cat2, n_buckets=n_buckets, near_dup=True, near_dup_use_kernel=use_kernel, near_dup_max_bucket=max_bucket)
         scratch = time.perf_counter() - t0
         results["from_scratch"] = {"grown_corpus_sec": round(scratch, 2)}
         kept_scratch = cat2.read_table(spark, "kept").count()
@@ -163,6 +218,7 @@ def main() -> None:
                 "sig_family": "kernel64" if use_kernel else "md5-16x4",
                 "tiles": tiles,
                 "n_docs": n_docs,
+                "max_bucket": max_bucket,
                 "increment_rows": n_inc,
                 **results,
                 # which twin survives a cluster may differ (committed

@@ -316,6 +316,11 @@ def lsh_candidate_pairs_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dedup_kernel.py)."""
     _TWIN = 1_000_000
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # same overflow guard as kernel_invariants (round-4 ADVICE): the
+    # oracle hard-codes the offset, so a fixture crossing it must fail
+    # loudly, not mis-count twin pairs
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    assert max_id < _TWIN, f"twin offset overflow: max doc_id {max_id}"
     twin = docs.select((F.col("doc_id") + F.lit(_TWIN)).alias("doc_id"), "text")
     cand = kernel_candidate_pairs_frame(docs.unionByName(twin))
     self_pairs = cand.filter(F.col("doc_b") == F.col("doc_a") + F.lit(_TWIN)).filter(
