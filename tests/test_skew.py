@@ -38,3 +38,43 @@ def test_bucket_count_caps_files_per_task():
     assert skew.choose_bucket_count(10_000) == skew.DEFAULT_BUCKETS
     assert skew.choose_bucket_count(10_000_000) == 200
     assert skew.choose_bucket_count(10**12) == 20_000_000
+
+
+def test_murmur3_replica_matches_spark_hash(spark):
+    """The numpy murmur3 behind partition_tags must equal F.hash on INTs
+    (seed 42) — the hash repartition(n, col) actually applies."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    vals = list(range(200)) + [2**31 - 1, -5, -(2**31)]
+    sdf = spark.createDataFrame(pd.DataFrame({"v": vals}), schema="v int")
+    got = {r["v"]: r["h"] for r in sdf.select("v", F.hash("v").alias("h")).collect()}
+    ours = skew._murmur3_int32(np.array(vals, dtype=np.int64)).tolist()
+    assert [got[v] for v in vals] == ours
+
+
+def test_partition_tags_are_a_bijection():
+    for n in (1, 2, 8, 64, 200, 1000):
+        tags = skew.partition_tags(n)
+        slots = np.mod(skew._murmur3_int32(np.array(tags, dtype=np.int64)), n)
+        assert slots.tolist() == list(range(n))
+
+
+def test_repartition_by_bucket_one_bucket_per_partition(spark, input_pdf):
+    """The defect this guards: hashing the bucket id binomially overloads
+    one shuffle partition (12/64 buckets in the fattest of 8 — a measured
+    1.5× makespan inflation that capped N→4N scaling at ~0.77). The
+    pre-image tags must place exactly one bucket in each partition."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(input_pdf, schema=SOURCE_FILES)
+    n_buckets = 64
+    parted = skew.repartition_by_bucket(skew.with_bucket(sdf, n_buckets), n_buckets)
+    assert parted.rdd.getNumPartitions() == n_buckets
+    per = (
+        parted.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.countDistinct("bucket").alias("n_buckets"))
+        .toPandas()
+    )
+    assert per["n_buckets"].max() == 1
+    assert len(per) == n_buckets  # every partition non-empty ⇒ bijection
