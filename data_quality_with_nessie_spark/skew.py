@@ -125,9 +125,16 @@ def repartition_by_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> Da
     at any core count, and each bucket's output lands in a single
     writer. The explicit partition count pins the exchange — AQE will
     not re-coalesce it unevenly.
+
+    Bucket ids need not live in ``[0, n_buckets)``: streaming epochs
+    offset their commit scope (``pipeline.run(bucket_offset=...)``), so
+    the tag lookup keys on ``bucket mod n_buckets`` — still a bijection
+    for any offset-contiguous range of ``n_buckets`` ids, and a uniform
+    modulo spread for wider mixes (e.g. catalog maintenance over many
+    epochs).
     """
     if n_buckets <= _TAG_LOOKUP_MAX:
         tags = F.lit(list(partition_tags(n_buckets)))
-        tag = F.element_at(tags, F.col("bucket") + 1).cast("int")
-        return df.repartition(n_buckets, tag)
+        tag = F.element_at(tags, F.pmod(F.col("bucket"), F.lit(n_buckets)) + 1)
+        return df.repartition(n_buckets, tag.cast("int"))
     return df.repartition(n_buckets, "bucket")

@@ -78,3 +78,26 @@ def test_repartition_by_bucket_one_bucket_per_partition(spark, input_pdf):
     )
     assert per["n_buckets"].max() == 1
     assert len(per) == n_buckets  # every partition non-empty ⇒ bijection
+
+
+def test_repartition_by_bucket_with_offset_scope(spark, input_pdf):
+    """Streaming epochs shift bucket ids by bucket_offset (pipeline.run),
+    so ids live in [offset, offset+n). The tag lookup must key on
+    bucket mod n — the round-5 regression was an element_at index
+    overflow that killed every offset-epoch job."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(input_pdf, schema=SOURCE_FILES)
+    n_buckets = 8
+    offset = 40  # epoch 5 of an 8-bucket scope
+    bucketed = skew.with_bucket(sdf, n_buckets).withColumn(
+        "bucket", F.col("bucket") + F.lit(offset)
+    )
+    parted = skew.repartition_by_bucket(bucketed, n_buckets)
+    per = (
+        parted.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.countDistinct("bucket").alias("n_buckets"))
+        .toPandas()
+    )
+    assert per["n_buckets"].max() == 1
+    assert len(per) == n_buckets
