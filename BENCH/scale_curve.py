@@ -53,6 +53,11 @@ def main() -> None:
     queries["minhash_bands_kernel_raw"] = DK.minhash_bands_kernel_raw
     queries["simhash64_kernel_raw"] = DK.simhash64_kernel_raw
     queries["lsh_candidate_pairs_kernel_raw"] = DK.lsh_candidate_pairs_kernel_raw
+    from data_quality_with_nessie_spark.operators import similarity as S
+
+    # tracked under its own name; the queries() surface carries it
+    # inside the merged near_dup_pairs_variants row (50-entry cap)
+    queries["near_dup_pairs_calib16x4"] = S.near_dup_pairs_calib16x4
     # warm JVM + python workers
     queries["quality_pipeline"](spark, "/root/testdata/sf0.001").count()
 

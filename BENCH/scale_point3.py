@@ -106,7 +106,12 @@ def main() -> None:
     spark = get_spark(
         app_name="scale-point3", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    from data_quality_with_nessie_spark.operators import similarity as S
+
+    # under its own name; the queries() surface carries it inside the
+    # merged near_dup_pairs_variants row (50-entry cap)
+    queries["near_dup_pairs_calib16x4"] = S.near_dup_pairs_calib16x4
     queries["quality_pipeline"](spark, "/root/testdata/sf0.001").count()
 
     path = os.path.join(REPO, "BENCH", "scale_curve.json")

@@ -94,9 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3: 50/54 with precisely the last 4 missing — a 50-entry cap).
     # Round 4 consolidates related 1-row invariant queries (kernel
     # invariants ×3 → 1, missing/invalid metrics ×2 → 1, pipeline
-    # variants ×2 → 1) so EVERY operator gets a correctness row each
-    # round; the underlying operators all remain individually exported
-    # from their modules.
+    # variants ×2 → 1); round 5 absorbs its three new operators the same
+    # way (toxicity screen+scrub → one scan, token stats+fingerprint →
+    # one scan, the two non-default near-dup regimes → one union) so
+    # EVERY operator gets a correctness row each round; the underlying
+    # operators all remain individually exported from their modules.
     return {
         # --- SURVEY.md §2 relational surface ---
         "pricing_summary": R.pricing_summary,
@@ -141,22 +143,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DEFAULT near-dup = the pruned 16×8 regime (round-4 swap); the
         # 16×4 form survives as the explicit calibration variant
         "near_dup_pairs": S.near_dup_pairs,
-        "near_dup_pairs_calib16x4": S.near_dup_pairs_calib16x4,
-        "near_dup_pairs_multiprobe": S.near_dup_pairs_multiprobe,
+        # 16×4 calibration + 16×8 multi-probe regimes in one union row
+        "near_dup_pairs_variants": S.near_dup_pairs_variants,
         "ivf_topk": S.ivf_topk,
         "centroid_by_label": S.centroid_by_label,
         # --- text analysis ---
-        "token_stats": T.token_stats,
+        # token counting + normalization fingerprint in one scan/row
+        "token_stats_fingerprint": T.token_stats_fingerprint,
         "quality_score": T.quality_score,
         "langid_stopword": T.langid_stopword,
-        "doc_fingerprint": T.doc_fingerprint,
         "warn_rates": T.warn_rates,
         "contamination_check": T.contamination_check,
         "stratified_sample": T.stratified_sample,
         "length_quantiles": T.length_quantiles,
         "vocab_top_tokens": T.vocab_top_tokens,
-        "toxicity_screen": T.toxicity_screen,
-        "toxicity_scrub": T.toxicity_scrub,
+        # toxicity screen + scrub halves in one scan/row
+        "toxicity_screen_scrub": T.toxicity_screen_scrub,
         "quality_filter_documents": T.quality_filter_documents,
         # --- events / windowed analytics ---
         "sessionize": E.sessionize,
@@ -623,37 +625,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.8
         """,
-        "near_dup_pairs_calib16x4": f"""
-            WITH codes AS (
+        "near_dup_pairs_variants": f"""
+            WITH codes4 AS (
                 {_band_codes_sql()}
-            ), cand AS (
+            ), cand4 AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-                FROM codes x JOIN codes y
+                FROM codes4 x JOIN codes4 y
                   ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
-            ), scored AS (
-                SELECT id_a, id_b, {_COS_AB} AS cos_sim
-                FROM cand
-                JOIN embeddings a ON a.vec_id = id_a
-                JOIN embeddings b ON b.vec_id = id_b
-            )
-            SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.5
-        """,
-        "near_dup_pairs_multiprobe": f"""
-            WITH codes AS (
+            ), codes8 AS (
                 {_band_codes_sql(16, 8)}
-            ), cand AS (
+            ), cand8 AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-                FROM codes x JOIN codes y
+                FROM codes8 x JOIN codes8 y
                   ON x.band = y.band
                  AND bit_count(xor(x.code::BIGINT, y.code::BIGINT)) <= 1
                  AND x.vec_id < y.vec_id
-            ), scored AS (
+            ), scored4 AS (
                 SELECT id_a, id_b, {_COS_AB} AS cos_sim
-                FROM cand
+                FROM cand4
+                JOIN embeddings a ON a.vec_id = id_a
+                JOIN embeddings b ON b.vec_id = id_b
+            ), scored8 AS (
+                SELECT id_a, id_b, {_COS_AB} AS cos_sim
+                FROM cand8
                 JOIN embeddings a ON a.vec_id = id_a
                 JOIN embeddings b ON b.vec_id = id_b
             )
-            SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.5
+            SELECT 'calib16x4' AS regime, id_a, id_b, cos_sim
+            FROM scored4 WHERE cos_sim >= 0.5
+            UNION ALL
+            SELECT 'multiprobe16x8' AS regime, id_a, id_b, cos_sim
+            FROM scored8 WHERE cos_sim >= 0.5
         """,
         "ivf_topk": """
             WITH e AS (
@@ -717,14 +719,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY label
         """,
         # --- text analysis ---
-        "token_stats": f"""
+        "token_stats_fingerprint": f"""
             SELECT doc_id,
                    length(text) AS n_chars,
                    len({_TOK}) AS n_tokens,
                    len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9]+'), x -> x != ''))
                    + len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x != ''))
                      AS n_pieces,
-                   round(length(text)::DOUBLE / len({_TOK}), 4) AS chars_per_token
+                   round(length(text)::DOUBLE / len({_TOK}), 4) AS chars_per_token,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   sha256(text) AS content_sha256
             FROM documents
         """,
         "quality_score": f"""
@@ -784,25 +788,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.99), 4) AS tokens_p99
             FROM b GROUP BY lang
         """,
-        "toxicity_screen": f"""
-            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+        "toxicity_screen_scrub": f"""
+            WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
             SELECT doc_id,
                    len(toks) AS n_tokens,
                    len(list_filter(toks, x -> x IN ('slow','dup','small'))) AS n_toxic,
                    round(len(list_filter(toks, x -> x IN ('slow','dup','small')))::DOUBLE
                          / len(toks), 6) AS toxicity_ratio,
                    round(len(list_filter(toks, x -> x IN ('slow','dup','small')))::DOUBLE
-                         / len(toks), 6) > 0.08 AS flag_toxic
-            FROM t
-        """,
-        "toxicity_scrub": """
-            SELECT doc_id,
+                         / len(toks), 6) > 0.08 AS flag_toxic,
                    len(regexp_extract_all(text, '(?i)\\b(slow|dup|small)\\b')) AS n_masked,
                    coalesce(regexp_replace(text, '(?i)\\b(slow|dup|small)\\b', '[TOXIC]', 'g')
                             != text, FALSE) AS changed,
                    sha256(regexp_replace(text, '(?i)\\b(slow|dup|small)\\b', '[TOXIC]', 'g'))
                      AS scrubbed_sha256
-            FROM documents
+            FROM t
         """,
         "warn_rates": """
             WITH w AS (
@@ -833,12 +833,6 @@ def oracle_sql() -> dict[str, str]:
                    substr(md5('strat:' || doc_id::VARCHAR), 1, 2) AS strat_key
             FROM documents
             WHERE substr(md5('strat:' || doc_id::VARCHAR), 1, 2) < (CASE WHEN lang = 'zh' THEN '80' ELSE CASE WHEN lang = 'es' THEN '80' ELSE CASE WHEN lang = 'fr' THEN '80' ELSE CASE WHEN lang = 'de' THEN '80' ELSE CASE WHEN lang = 'en' THEN '33' ELSE '4d' END END END END END)
-        """,
-        "doc_fingerprint": """
-            SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-                   sha256(text) AS content_sha256
-            FROM documents
         """,
         "quality_filter_documents": f"""
             WITH d AS (

@@ -130,9 +130,14 @@ def bench_queries(spark, sf_dir: str, noisy: list[str] | None = None) -> dict[st
     ]
     queries = dict(entry_mod.queries())
     from data_quality_with_nessie_spark.operators import dedup_kernel as DK
+    from data_quality_with_nessie_spark.operators import similarity as S
 
     queries["minhash_bands_kernel_raw"] = DK.minhash_bands_kernel_raw
     queries["simhash64_kernel_raw"] = DK.simhash64_kernel_raw
+    # benched under its own name even though the queries() surface now
+    # carries it inside the merged near_dup_pairs_variants row — the
+    # regime gap vs the pruned default must stay visible round-to-round
+    queries["near_dup_pairs_calib16x4"] = S.near_dup_pairs_calib16x4
     # calibrate the health probe: min of 5 (first is its own warm-up).
     # The base stays a RUNNING min over every probe taken afterwards —
     # if the calibration itself landed inside a sick window, the first

@@ -547,6 +547,26 @@ def near_dup_pairs_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_pruned(spark, sf_dir, threshold=0.5, multiprobe=True)
 
 
+def near_dup_pairs_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both non-default near-dup regimes in ONE oracle row, tagged by
+    ``regime``: the high-recall 16×4 calibration form (cos ≥ 0.5) and the
+    16×8 multi-probe form (band Hamming ≤ 1, cos ≥ 0.5).
+
+    A plain ``unionByName`` — each side keeps its own banded-LSH plan
+    (no cartesian; ``assert_no_cartesian`` pinned on both underlying
+    operators in ``tests/test_similarity_recall.py``). Exists so the
+    driver's recorded 50-entry correctness cap never drops an operator's
+    oracle row (see ``__spark_entry__.queries``); the individual
+    operators remain exported."""
+    cal = near_dup_pairs_calib16x4(spark, sf_dir).select(
+        F.lit("calib16x4").alias("regime"), "id_a", "id_b", "cos_sim"
+    )
+    mp = near_dup_pairs_multiprobe(spark, sf_dir).select(
+        F.lit("multiprobe16x8").alias("regime"), "id_a", "id_b", "cos_sim"
+    )
+    return cal.unionByName(mp)
+
+
 def near_dup_pairs_bruteforce(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """All-pairs form — TEST-ONLY recall oracle for :func:`near_dup_pairs`
     (O(n²); never exported via ``queries()``)."""

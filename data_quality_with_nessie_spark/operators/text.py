@@ -634,6 +634,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_stats_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`token_stats` and :func:`doc_fingerprint` as ONE scan.
+
+    Both are narrow per-row expressions over the same ``documents`` read,
+    so the merged form costs exactly one scan (no join, no shuffle) — and
+    it keeps the driver's correctness surface at 50 ``queries()`` entries
+    (the recorded cap; see ``__spark_entry__.queries``). The individual
+    operators remain exported for library callers."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    word_pieces = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[A-Za-z0-9]+"),
+            lambda x: x != "",
+        )
+    ) + F.size(F.filter(F.split(F.col("text"), r"[^A-Za-z0-9]+"), lambda x: x != ""))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        word_pieces.cast("long").alias("n_pieces"),
+        F.round(F.length("text").cast("double") / F.size(toks), 4).alias("chars_per_token"),
+        F.md5(norm).alias("fingerprint"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+
 def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-portable quality-filter over documents: keep + reasons + scrub.
 
@@ -738,6 +766,42 @@ def toxicity_scrub(
     masked = F.regexp_replace(F.col("text"), pat, "[TOXIC]")
     return docs.select(
         "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).alias("n_masked"),
+        (F.coalesce(masked != F.col("text"), F.lit(False))).alias("changed"),
+        F.sha2(masked, 256).alias("scrubbed_sha256"),
+    )
+
+
+def toxicity_screen_scrub(
+    spark: SparkSession,
+    sf_dir: str,
+    lexicon: tuple[str, ...] = TEST_TOXICITY_LEXICON,
+    flag_ratio: float = TOXICITY_FLAG_RATIO,
+) -> DataFrame:
+    """:func:`toxicity_screen` and :func:`toxicity_scrub` as ONE scan.
+
+    Screen (lexicon token ratio + flag) and scrub (word-bounded masking,
+    sha256-verified) are both narrow per-row expressions over the same
+    ``documents`` read — the merged form pays one scan, no join, and
+    keeps the driver's correctness surface at its recorded 50-entry cap
+    (see ``__spark_entry__.queries``). Any drift between this and the
+    standalone halves is caught by the shared DuckDB oracle."""
+    from ..rules.heuristics import toxicity_pattern
+
+    docs = _docs(spark, sf_dir)
+    lex = F.array(*[F.lit(w.lower()) for w in lexicon])
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_toxic = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+    ratio = F.round(n_toxic.cast("double") / n_tokens, 6)
+    pat = toxicity_pattern(lexicon)
+    masked = F.regexp_replace(F.col("text"), pat, "[TOXIC]")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_toxic.alias("n_toxic"),
+        ratio.alias("toxicity_ratio"),
+        (ratio > F.lit(flag_ratio)).alias("flag_toxic"),
         F.regexp_count(F.col("text"), F.lit(pat)).alias("n_masked"),
         (F.coalesce(masked != F.col("text"), F.lit(False))).alias("changed"),
         F.sha2(masked, 256).alias("scrubbed_sha256"),
