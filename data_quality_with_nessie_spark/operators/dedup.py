@@ -23,6 +23,54 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .parallel import fan_out
+import threading
+
+# Guards the (snapshot → localCheckpoint → snapshot) window in
+# _checkpoint_release so two concurrent clustering calls in one session
+# cannot mis-attribute each other's checkpoint blocks.
+_CKPT_LOCK = threading.Lock()
+
+
+def _persistent_rdds(spark) -> dict:
+    """id → JVM RDD handle for every persisted RDD in the context
+    (localCheckpoint blocks live here; ``Dataset.unpersist`` cannot
+    reach them — only ``RDD.unpersist`` on the checkpointed RDD can)."""
+    out: dict = {}
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        out[t._1()] = t._2()
+    return out
+
+
+def _checkpoint_release(df: DataFrame, prev_ids: set) -> tuple[DataFrame, set]:
+    """``localCheckpoint`` eagerly, then FREE the previous round's
+    checkpoint blocks (``prev_ids``).
+
+    Without this, every pointer-jumping round pins its edge list in the
+    block manager until the JVM's periodic GC (default 30 min) lets the
+    ContextCleaner run — O(log n) copies per clustering call, and the
+    recorded 60k-doc no-space death shows this host already dies on
+    exactly that kind of un-reclaimed state. Eager release bounds live
+    checkpoint storage to ONE round's edges (the round-4 plan-truncation
+    rationale for localCheckpoint itself is at the call site below).
+
+    ``prev_ids`` must be fully consumed: the new checkpoint materializes
+    the only remaining reader of the previous round's blocks, so freeing
+    them afterwards is safe (verified — a freed localCheckpoint raises
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on any later read attempt).
+    """
+    spark = df.sparkSession
+    with _CKPT_LOCK:
+        before = set(_persistent_rdds(spark))
+        out = df.localCheckpoint()
+        handles = _persistent_rdds(spark)
+        new_ids = set(handles) - before
+        for rid in prev_ids:
+            h = handles.get(rid)
+            if h is not None:
+                h.unpersist(False)
+    return out, new_ids
 
 # 16 bands × 4 rows over 64 salted md5 minima (round 4; was 8 bands ×
 # 1 row). With r rows per band, P(candidate) = 1-(1-J^r)^b: at r=1 that
@@ -283,14 +331,14 @@ def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     ``pipeline.run(cluster_max_iter=...)`` so production can widen it
     without an edit (round-3 ADVICE).
     """
-    e = (
+    e, live_ids = _checkpoint_release(
         edges.select(
             F.greatest("doc_a", "doc_b").alias("hi"),
             F.least("doc_a", "doc_b").alias("lo"),
         )
         .filter(F.col("hi") != F.col("lo"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        set(),
     )
     # size the ITERATIVE jobs to the edge list, not the corpus: near-dup
     # edge sets are a sliver of the input (rows/10^3..10^4), and running
@@ -350,7 +398,10 @@ def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         nxt = e_self.unionByName(e_small).distinct()
         if target < sess_parts:
             nxt = nxt.coalesce(target)
-        e = nxt.localCheckpoint()
+        # the new checkpoint's materialization is the LAST reader of the
+        # previous round's blocks — free them eagerly (storage stays
+        # bounded at one round's edge list instead of O(log n) copies)
+        e, live_ids = _checkpoint_release(nxt, live_ids)
         sig_row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("x"),

@@ -421,6 +421,29 @@ def test_family_switch_falls_back_to_full(spark, input_pdf, tmp_path):
     assert s["near_dup_mode"] == "full"
 
 
+def test_cluster_frame_releases_round_checkpoints(spark):
+    """Each pointer-jumping round localCheckpoints the shrunk edge list;
+    the previous round's blocks must be FREED eagerly (round 5) — relying
+    on the ContextCleaner's periodic GC pins O(log n) edge-list copies in
+    the block manager per clustering call, and un-reclaimed state already
+    produced one recorded no-space death on this host (BENCH/NOTES.md).
+    Only the FINAL checkpoint (it backs the returned frame) may remain."""
+    from data_quality_with_nessie_spark.operators.dedup import (
+        _persistent_rdds,
+        cluster_frame,
+    )
+
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(150)] + [(900, 901), (900, 902)],
+        ["doc_a", "doc_b"],
+    )
+    before = set(_persistent_rdds(spark))
+    got = cluster_frame(edf).collect()
+    leaked = set(_persistent_rdds(spark)) - before
+    assert len(got) == 154
+    assert len(leaked) <= 1, f"clustering leaked checkpoint RDDs: {leaked}"
+
+
 def test_cluster_frame_deep_chain(spark):
     """A chain of diameter 200 (long incremental version chains are a
     real near-dup topology) converges — pointer jumping is O(log n)
