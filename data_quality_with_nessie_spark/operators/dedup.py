@@ -72,6 +72,39 @@ def _checkpoint_release(df: DataFrame, prev_ids: set) -> tuple[DataFrame, set]:
                 h.unpersist(False)
     return out, new_ids
 
+
+def tracked_checkpoint(df: DataFrame, bag: set) -> DataFrame:
+    """``localCheckpoint`` eagerly, recording the checkpoint's RDD ids in
+    ``bag`` so the owner can free them with :func:`release_checkpoints`
+    once every consumer has materialized.
+
+    This is the RUN-scoped sibling of the per-round release inside
+    :func:`cluster_frame`: ``pipeline.run`` checkpoints its fingerprint
+    map / candidate set / verified edges once per run, and streaming
+    invokes ``run`` per micro-batch — untracked, those blocks accumulate
+    in the block manager across epochs until the JVM's periodic GC lets
+    the ContextCleaner reclaim them (the same un-reclaimed-state failure
+    mode as the recorded 60k-doc no-space death, BENCH/NOTES.md).
+    """
+    out, ids = _checkpoint_release(df, set())
+    bag |= ids
+    return out
+
+
+def release_checkpoints(spark, bag: set) -> None:
+    """Free every checkpoint RDD recorded in ``bag`` (ids the cleaner
+    already reclaimed are skipped). The caller must guarantee no lazy
+    plan still reads them: a freed localCheckpoint block is
+    unrecoverable (its lineage was truncated)."""
+    with _CKPT_LOCK:
+        handles = _persistent_rdds(spark)
+        for rid in bag:
+            h = handles.get(rid)
+            if h is not None:
+                h.unpersist(False)
+    bag.clear()
+
+
 # 16 bands × 4 rows over 64 salted md5 minima (round 4; was 8 bands ×
 # 1 row). With r rows per band, P(candidate) = 1-(1-J^r)^b: at r=1 that
 # is ≈ 8·J, which admitted essentially every boilerplate-sharing pair —
@@ -310,7 +343,9 @@ def lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs_frame(_docs(spark, sf_dir))
 
 
-def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def cluster_frame(
+    edges: DataFrame, max_iter: int = 50, ckpt_bag: set | None = None
+) -> DataFrame:
     """Connected components over an undirected pair list → one keeper per
     cluster: ``(cluster_id, doc_id, is_keeper)``.
 
@@ -330,6 +365,11 @@ def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     exceeded only by a logic bug — exposed through
     ``pipeline.run(cluster_max_iter=...)`` so production can widen it
     without an edit (round-3 ADVICE).
+
+    Intermediate rounds' checkpoint blocks are freed eagerly (round 5);
+    the FINAL round's blocks back the returned frame and must outlive
+    it — pass ``ckpt_bag`` to receive their RDD ids and free them via
+    :func:`release_checkpoints` after the result has materialized.
     """
     e, live_ids = _checkpoint_release(
         edges.select(
@@ -421,6 +461,8 @@ def cluster_frame(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         raise RuntimeError(
             f"cluster_frame did not converge within max_iter={max_iter} rounds"
         )
+    if ckpt_bag is not None:
+        ckpt_bag |= live_ids
     children = e.select(F.col("hi").alias("doc_id"), F.col("lo").alias("label"))
     roots = e.select(F.col("lo").alias("doc_id"), F.col("lo").alias("label")).distinct()
     return children.unionByName(roots).select(

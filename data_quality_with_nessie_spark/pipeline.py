@@ -182,6 +182,7 @@ def _near_dup_pre_pass(
     use_kernel: bool = False,
     cluster_max_iter: int = 50,
     max_bucket: int | None = None,
+    ckpt_bag: set | None = None,
 ) -> tuple[DataFrame, dict]:
     """Corpus-level near-dup pre-pass, state-persisting. Returns
     ``(drop_ids, stats)`` — the drop set (one ``doc_id`` column) and a
@@ -248,10 +249,13 @@ def _near_dup_pre_pass(
         rank_drop_ids,
         sig_cross_pairs,
         sig_self_pairs,
+        tracked_checkpoint,
         verified_pairs_frame,
     )
     from .schemas import SIGNATURES as SIG_SCHEMA
 
+    if ckpt_bag is None:
+        ckpt_bag = set()  # caller opted out of release; ids just unused
     stage = catalog.staging_dir(run_id)
     sig_path = os.path.join(stage, SIG_TBL)
 
@@ -259,7 +263,9 @@ def _near_dup_pre_pass(
     #    fingerprint. The map is O(docs) rows of (id, id, bucket) —
     #    checkpointed once, reused by the expansion, the rep filter and
     #    the member edges. Shuffle carries md5 fingerprints, not text.
-    fp_map = exact_collapse_map(docs.select("doc_id", "text", "bucket")).localCheckpoint()
+    fp_map = tracked_checkpoint(
+        exact_collapse_map(docs.select("doc_id", "text", "bucket")), ckpt_bag
+    )
     rep_ids = fp_map.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
     reps = docs.join(rep_ids, "doc_id", "left_semi")
 
@@ -303,7 +309,7 @@ def _near_dup_pre_pass(
         cand = cand.unionByName(
             sig_cross_pairs(sig_reps, prior_sigs, key, max_bucket=max_bucket)
         ).distinct()
-    cand = cand.localCheckpoint()
+    cand = tracked_checkpoint(cand, ckpt_bag)
 
     # recall disclosure for the hot-bucket cap (scalar row; bounded)
     nd_stats: dict = {}
@@ -353,10 +359,11 @@ def _near_dup_pre_pass(
     # member edges re-expand collapsed exact-dup families into the
     # graph (and into the staged edge state, so future incremental runs
     # keep the family connected even after its rep's bucket re-keys)
-    verified = (
-        verified_pairs_frame(docs_verify, threshold, candidates=cand)
-        .unionByName(member_edges(fp_map.select("doc_id", "rep_id", "has_shingles")))
-        .localCheckpoint()
+    verified = tracked_checkpoint(
+        verified_pairs_frame(docs_verify, threshold, candidates=cand).unionByName(
+            member_edges(fp_map.select("doc_id", "rep_id", "has_shingles"))
+        ),
+        ckpt_bag,
     )
 
     # 4. cluster old + new edges; prior edges pass only while BOTH
@@ -394,7 +401,9 @@ def _near_dup_pre_pass(
             )
         )
         edges = edges.unionByName(prior_edges.select("doc_a", "doc_b")).distinct()
-    drop_ids = rank_drop_ids(cluster_frame(edges, max_iter=cluster_max_iter), kept_ids)
+    drop_ids = rank_drop_ids(
+        cluster_frame(edges, max_iter=cluster_max_iter, ckpt_bag=ckpt_bag), kept_ids
+    )
 
     # 5. stage the NEW edges under their pending endpoint bucket(s),
     #    each endpoint stamped with the commit ref it will be (pending:
@@ -520,7 +529,62 @@ def run(
     ``commit_group_size`` batches N buckets per manifest write: crash
     granularity coarsens to the group, manifest count shrinks N× — use
     >1 when bucket counts are large (see jobs/cluster_conf.py).
+
+    Checkpoint hygiene (round 5): every localCheckpoint the run creates
+    (fingerprint map, candidate set, verified edges, the clustering
+    result, the invalidated-kept snapshot) is freed when the run
+    returns. Streaming invokes this per micro-batch; untracked
+    checkpoint blocks otherwise accumulate in the block manager across
+    epochs until the JVM's periodic GC lets the ContextCleaner run —
+    the same un-reclaimed-state failure mode as the recorded 60k-doc
+    no-space death (BENCH/NOTES.md).
     """
+    from .operators.dedup import release_checkpoints
+
+    ckpt_bag: set = set()
+    try:
+        return _run_impl(
+            spark,
+            source,
+            catalog,
+            n_buckets=n_buckets,
+            bucket_offset=bucket_offset,
+            verify_committed=verify_committed,
+            near_dup=near_dup,
+            near_dup_incremental=near_dup_incremental,
+            near_dup_use_kernel=near_dup_use_kernel,
+            near_dup_max_bucket=near_dup_max_bucket,
+            cluster_max_iter=cluster_max_iter,
+            staged_write=staged_write,
+            commit_group_size=commit_group_size,
+            toxicity_lexicon=toxicity_lexicon,
+            ckpt_bag=ckpt_bag,
+        )
+    finally:
+        release_checkpoints(spark, ckpt_bag)
+
+
+def _run_impl(
+    spark: SparkSession,
+    source: DataFrame,
+    catalog: LocalCatalog,
+    n_buckets: int,
+    bucket_offset: int,
+    verify_committed: bool,
+    near_dup: bool,
+    near_dup_incremental: bool,
+    near_dup_use_kernel: bool,
+    near_dup_max_bucket: int | None,
+    cluster_max_iter: int,
+    staged_write: bool,
+    commit_group_size: int,
+    toxicity_lexicon: tuple[str, ...] | None,
+    ckpt_bag: set,
+) -> dict:
+    """Body of :func:`run`; ``ckpt_bag`` collects every checkpoint RDD id
+    the run creates so the :func:`run` wrapper can free them on exit
+    (all consumers — staged writes, lineage agg, commits — have
+    materialized by then)."""
     started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     catalog.rollback_uncommitted()
     committed = catalog.committed_buckets(spark)
@@ -564,11 +628,13 @@ def run(
                 # snapshot the doomed buckets' published-kept keys BEFORE
                 # invalidation deletes their data files (localCheckpoint
                 # materializes; the set is small — changed buckets only)
-                invalidated_kept_ids = (
+                from .operators.dedup import tracked_checkpoint
+
+                invalidated_kept_ids = tracked_checkpoint(
                     catalog.read_table(spark, KEPT)
                     .filter(F.col("bucket").isin(sorted(changed)))
-                    .select(doc_key_id().alias("doc_id"))
-                    .localCheckpoint()
+                    .select(doc_key_id().alias("doc_id")),
+                    ckpt_bag,
                 )
             catalog.invalidate_buckets(changed)
             committed -= changed
@@ -631,6 +697,7 @@ def run(
             use_kernel=near_dup_use_kernel,
             cluster_max_iter=cluster_max_iter,
             max_bucket=near_dup_max_bucket,
+            ckpt_bag=ckpt_bag,
         )
         rule_names = RULE_NAMES + ("near_dup",)
     else:

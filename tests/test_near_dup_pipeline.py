@@ -444,6 +444,23 @@ def test_cluster_frame_releases_round_checkpoints(spark):
     assert len(leaked) <= 1, f"clustering leaked checkpoint RDDs: {leaked}"
 
 
+def test_run_releases_all_checkpoints(spark, input_pdf, tmp_path):
+    """pipeline.run checkpoints its fingerprint map, candidate set,
+    verified edges and clustering result once per run; streaming calls
+    run per micro-batch, so every one of them must be FREED when the run
+    returns (round 5) or the block manager accumulates checkpoint blocks
+    across epochs. Zero tolerance: run owns all of its checkpoints."""
+    from data_quality_with_nessie_spark.operators.dedup import _persistent_rdds
+
+    cat = LocalCatalog(str(tmp_path / "cat"))
+    sdf = spark.createDataFrame(input_pdf.head(300), schema=SOURCE_FILES)
+    before = set(_persistent_rdds(spark))
+    s = run(spark, sdf, cat, n_buckets=8, near_dup=True)
+    leaked = set(_persistent_rdds(spark)) - before
+    assert s["rows_out"] > 0
+    assert not leaked, f"run leaked checkpoint RDDs: {leaked}"
+
+
 def test_cluster_frame_deep_chain(spark):
     """A chain of diameter 200 (long incremental version chains are a
     real near-dup topology) converges — pointer jumping is O(log n)
