@@ -71,20 +71,45 @@ def _quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's 50-query correctness budget covers every operator.)"""
     from data_quality_with_nessie_spark.operators.dedup import near_dup_drop_ids
     from data_quality_with_nessie_spark.pipeline import classify
+    from data_quality_with_nessie_spark.rules.registry import (
+        RULE_NAMES,
+        reasons_column,
+    )
 
     src = _documents_as_source_files(spark, sf_dir)
 
-    def counts(out: DataFrame, variant: str) -> DataFrame:
+    # Round 6 (guide §1.2 "don't compute things twice"): ONE classify
+    # pass serves both variants. The near-dup classify output carries
+    # every per-row rule_<name> column, and the plain variant's
+    # keep/reasons are by definition the same expressions restricted to
+    # RULE_NAMES (no ``near_dup``) — exactly what classify(src) computes
+    # — so both variants' counts derive from one scored frame. A single
+    # 4-key pre-aggregation (map-side combined; both variant keys at
+    # once) materializes the scorer stage exactly once — the two
+    # per-variant re-aggregations below consume its (tiny) reused
+    # exchange instead of re-running the pipeline.
+    out = classify(src, n_buckets=8, drop_ids=near_dup_drop_ids(src))
+    keep_plain = ~F.array_contains(
+        F.array(*[F.col(f"rule_{n}") for n in RULE_NAMES]), F.lit(True)
+    )
+    base = out.groupBy(
+        keep_plain.alias("keep_p"),
+        F.concat_ws(",", reasons_column(RULE_NAMES)).alias("reasons_p"),
+        F.col("keep").alias("keep_n"),
+        F.concat_ws(",", "rejection_reasons").alias("reasons_n"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def counts(keep_col: str, reasons_col: str, variant: str) -> DataFrame:
         return (
-            out.groupBy("keep", F.concat_ws(",", "rejection_reasons").alias("reasons"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            base.groupBy(
+                F.col(keep_col).alias("keep"), F.col(reasons_col).alias("reasons")
+            )
+            .agg(F.sum("n").alias("n"))
             .select(F.lit(variant).alias("variant"), "keep", "reasons", "n")
         )
 
-    plain = counts(classify(src, n_buckets=8), "docs")
-    near = counts(
-        classify(src, n_buckets=8, drop_ids=near_dup_drop_ids(src)), "near_dup"
-    )
+    plain = counts("keep_p", "reasons_p", "docs")
+    near = counts("keep_n", "reasons_n", "near_dup")
     return plain.unionByName(near)
 
 

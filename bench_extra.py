@@ -1,0 +1,81 @@
+"""Round-6 optimization harness (bench.py is FROZEN for measurement —
+this file is the builder's own instrument, per the optimization guide
+§1: isolate each query with the noop sink, label jobs, capture
+``explain("formatted")``).
+
+Usage:
+    python bench_extra.py [--sf DIR] [--n N] [--plans OUTDIR] q1 q2 ...
+
+For each named query: one warm materialization, then N timed noop-sink
+materializations (construction + materialization, same methodology as
+bench.py); prints one JSON line with per-query [times]. With --plans,
+writes ``<OUTDIR>/<query>.txt`` containing the formatted physical plan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from data_quality_with_nessie_spark.session import get_spark
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def all_queries():
+    import __spark_entry__ as entry_mod
+    from data_quality_with_nessie_spark.operators import dedup_kernel as DK
+    from data_quality_with_nessie_spark.operators import similarity as S
+
+    queries = dict(entry_mod.queries())
+    queries["minhash_bands_kernel_raw"] = DK.minhash_bands_kernel_raw
+    queries["simhash64_kernel_raw"] = DK.simhash64_kernel_raw
+    queries["near_dup_pairs_calib16x4"] = S.near_dup_pairs_calib16x4
+    return queries
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0"))
+    ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("--plans", default=None)
+    ap.add_argument("names", nargs="+")
+    args = ap.parse_args()
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="bench_extra", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.read.parquet(f"{args.sf}/nation.parquet").count()
+    queries = all_queries()
+    out: dict[str, list[float]] = {}
+    for name in args.names:
+        fn = queries[name]
+        if args.plans:
+            os.makedirs(args.plans, exist_ok=True)
+            with open(os.path.join(args.plans, f"{name}.txt"), "w") as fh:
+                fh.write(fn(spark, args.sf)._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                ))
+        spark.sparkContext.setJobDescription(f"warm:{name}")
+        _materialize(fn(spark, args.sf))
+        times = []
+        for i in range(args.n):
+            spark.sparkContext.setJobDescription(f"timed:{name}:{i}")
+            t0 = time.perf_counter()
+            _materialize(fn(spark, args.sf))
+            times.append(round(time.perf_counter() - t0, 3))
+        out[name] = times
+        print(json.dumps({name: times}), flush=True)
+    print(json.dumps({"sf": args.sf, "results": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

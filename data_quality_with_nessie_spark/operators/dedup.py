@@ -148,24 +148,29 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) pairs: k-word shingles of the lowercased text."""
+def _shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs: k-word shingles of the lowercased text.
+
+    Round 6 (guide §2.4 — remove shuffles outright): set semantics are
+    enforced with ``array_distinct`` on the per-doc shingle array
+    BEFORE the explode — a frame-level ``distinct()`` on
+    ``(doc_id, shingle)`` is by definition a per-doc dedup, so the two
+    are identical, but the array form is narrow (no shuffle of the
+    string stream at all). ``distinct=False`` skips even that for
+    duplicate-insensitive consumers (the MinHash minima are identical
+    over the multiset and the set, so
+    :func:`minhash_signature_frame` opts out)."""
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - k),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("toks"), i + 1, k)
-                    ),
-                ),
-            ).otherwise(F.array())
-        ).alias("shingle"),
-    )
-    return sh.distinct()
+    arr = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - k),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k)),
+        ),
+    ).otherwise(F.array())
+    if distinct:
+        arr = F.array_distinct(arr)
+    return toks.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 def minhash_signature_frame(docs: DataFrame) -> DataFrame:
@@ -191,8 +196,14 @@ def minhash_signature_frame(docs: DataFrame) -> DataFrame:
     near-linear — see the constants above. The zero-pass-over-shingles
     alternative remains ``dedup_kernel.minhash_bands_frame``
     (char-8-gram family).
+
+    Round 6: the shingle stream is consumed WITHOUT the per-doc set
+    collapse (``distinct=False``): the 64 minima are identical over the
+    multiset, and the collapse cost a full shuffle of the string stream
+    before the (map-side-combined) minima groupBy — one Exchange
+    removed; the surviving shuffle carries only docs × 64 longs.
     """
-    sh = _shingles(docs)
+    sh = _shingles(docs, distinct=False)
     h = F.md5(F.col("shingle"))
     a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
@@ -311,13 +322,49 @@ def verified_pairs_frame(
     vectorized ``dedup_kernel.kernel_candidate_pairs_frame``) — the
     Jaccard verification stage is generator-agnostic, so precision is
     exact either way and only recall depends on the generator.
-    """
-    cand = candidates if candidates is not None else candidate_pairs_frame(docs)
-    sh = _shingles(docs)
+
+    Round 6 plan shape (guide §3.2): every inner join below restricts
+    the shingle frame to docs that appear in ``cand`` anyway, so the
+    shingle stream is PRE-PRUNED with a broadcast semi-join on the
+    candidate-doc id set before any wide work — the (doc, shingle)
+    intersection join and the size aggregation run on shingles of
+    candidate docs only (a sliver of the corpus), instead of shuffling
+    the full corpus shingle stream three ways. In the self-LSH case
+    the id set is derived from the signature frame directly (docs in a
+    (band, minhash) bucket with ≥2 members — exactly the docs that
+    form ≥1 pair), so the candidate self-join is not executed a second
+    time just to learn the ids; an explicit ``candidates`` frame
+    (checkpointed by the pipeline) yields its ids cheaply. The set is
+    ≤ 2×|candidate pairs| — bounded by the hot-bucket cap on the
+    production path. Results unchanged: inner equi-joins commute with
+    the semi-join restriction."""
+    if candidates is None:
+        sig = minhash_signature_frame(docs)
+        cand = sig_self_pairs(sig)
+        multi = (
+            sig.groupBy("band", "minhash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .select("band", "minhash")
+        )
+        in_play = (
+            sig.join(multi, ["band", "minhash"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+    else:
+        cand = candidates
+        in_play = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+    sh = _shingles(docs).join(F.broadcast(in_play), "doc_id", "left_semi")
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        cand.join(a, "doc_a")
+        F.broadcast(cand)
+        .join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -749,24 +796,24 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w")).withColumn(
         "h", F.md5(F.col("w"))
     )
-    pos = spark.range(1, 17).select(F.col("id").cast("int").alias("p"))
-    votes = tok.crossJoin(F.broadcast(pos)).select(
-        "doc_id",
-        "p",
-        F.when(
-            F.substring(F.col("h"), F.col("p"), F.lit(1)).isin(
-                "8", "9", "a", "b", "c", "d", "e", "f"
-            ),
-            1,
-        )
-        .otherwise(-1)
-        .alias("v"),
+    # Round 6 (guide §2.3/§2.4): all 16 per-dimension vote sums are
+    # aggregate columns of ONE groupBy over the token stream — the old
+    # shape crossJoined the stream ×16 and shuffled the multiplied
+    # votes through TWO groupBys; now map-side partial aggregation
+    # reduces each partition to one 16-column row per doc, and the sole
+    # shuffle carries O(docs × 16 longs). Vote values, sign rule and
+    # bit order are unchanged.
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.col("h"), p, 1).isin(*high), 1).otherwise(-1)
+            ).alias(f"s{p}")
+            for p in range(1, 17)
+        ]
     )
-    bits = votes.groupBy("doc_id", "p").agg(
-        F.when(F.sum("v") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
-    )
-    return bits.groupBy("doc_id").agg(
-        F.concat_ws(
-            "", F.transform(F.array_sort(F.collect_list(F.struct("p", "bit"))), lambda s: s["bit"])
-        ).alias("simhash")
-    )
+    bits = [
+        F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(1, 17)
+    ]
+    return sums.select("doc_id", F.concat(*bits).alias("simhash"))

