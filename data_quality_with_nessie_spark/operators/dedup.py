@@ -329,36 +329,20 @@ def verified_pairs_frame(
     candidate-doc id set before any wide work — the (doc, shingle)
     intersection join and the size aggregation run on shingles of
     candidate docs only (a sliver of the corpus), instead of shuffling
-    the full corpus shingle stream three ways. In the self-LSH case
-    the id set is derived from the signature frame directly (docs in a
-    (band, minhash) bucket with ≥2 members — exactly the docs that
-    form ≥1 pair), so the candidate self-join is not executed a second
-    time just to learn the ids; an explicit ``candidates`` frame
-    (checkpointed by the pipeline) yields its ids cheaply. The set is
+    the full corpus shingle stream three ways. The set is
     ≤ 2×|candidate pairs| — bounded by the hot-bucket cap on the
     production path. Results unchanged: inner equi-joins commute with
     the semi-join restriction."""
-    if candidates is None:
-        sig = minhash_signature_frame(docs)
-        cand = sig_self_pairs(sig)
-        multi = (
-            sig.groupBy("band", "minhash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") >= 2)
-            .select("band", "minhash")
-        )
-        in_play = (
-            sig.join(multi, ["band", "minhash"], "left_semi")
-            .select("doc_id")
-            .distinct()
-        )
-    else:
-        cand = candidates
-        in_play = (
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
+    cand = candidates if candidates is not None else candidate_pairs_frame(docs)
+    # the endpoint-id derivation re-reads ``cand``, but everything heavy
+    # below it (the signature aggregation, the (band, key) repartition,
+    # the pair kernel, the pair distinct) is an identical subtree to the
+    # scoring join's — Spark's ReusedExchange computes it once.
+    in_play = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     sh = _shingles(docs).join(F.broadcast(in_play), "doc_id", "left_semi")
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -388,6 +372,63 @@ def verified_pairs_frame(
 
 def lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs_frame(_docs(spark, sf_dir))
+
+
+# Edge-count ceiling for the single-task union-find fast path in
+# :func:`cluster_frame`: 2M (hi, lo) pairs ≈ 32 MB — one task's worth of
+# memory by any measure. Above it, the O(log n) pointer-jumping rounds
+# take over (the shape that survives a billion-edge corpus graph).
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _unionfind_batches(batches):
+    """mapInArrow worker: (hi, lo) edge batches of ONE partition → exact
+    connected components ``(cluster_id, doc_id, is_keeper)`` via
+    path-compressed union-find with min-id roots. Emits every member
+    node exactly once; ``cluster_id`` = component minimum — the same
+    fixpoint the pointer-jumping rounds converge to."""
+    import numpy as np
+    import pyarrow as pa
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    seen = False
+    for batch in batches:
+        seen = True
+        his = np.asarray(batch.column(0))
+        los = np.asarray(batch.column(1))
+        for h, l in zip(his.tolist(), los.tolist()):
+            rh, rl = find(h), find(l)
+            if rh != rl:
+                # root at the smaller id: the final root IS the minimum
+                if rh < rl:
+                    parent[rl] = rh
+                else:
+                    parent[rh] = rl
+    if not seen or not parent:
+        return
+    nodes = list(parent.keys())
+    # every node touched by an edge, including roots never written
+    roots = {find(n) for n in nodes}
+    members = sorted(set(nodes) | roots)
+    doc_id = np.array(members, dtype=np.int64)
+    cluster = np.array([find(int(n)) for n in members], dtype=np.int64)
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(cluster, type=pa.int64()),
+            pa.array(doc_id, type=pa.int64()),
+            pa.array(cluster == doc_id),
+        ],
+        names=["cluster_id", "doc_id", "is_keeper"],
+    )
 
 
 def cluster_frame(
@@ -435,6 +476,33 @@ def cluster_frame(
     # partition through test/bench scales and still spreads a
     # billion-edge corpus graph.
     n_edges = e.count()
+    # Round 6 fast path (guide §1.2 — fix the distributed algorithm
+    # first): a near-dup edge list is a sliver of the corpus, and the
+    # pointer-jumping rounds cost ~10 scheduler-bound 1-partition
+    # stages + 2 jobs PER ROUND on it. Up to SMALL_GRAPH_EDGES the
+    # exact components come out of ONE narrow task instead: coalesce
+    # the (checkpointed) edge list to a single partition and run
+    # path-compressed union-find with min-id roots in the Python
+    # worker — the identical fixpoint (component minimum = cluster id,
+    # keeper = minimum member), one job, zero shuffles, no per-round
+    # checkpoints to track. Beyond the ceiling the O(log n) rounds
+    # below take over unchanged — that shape is what survives a
+    # billion-edge graph; the ceiling is a task-memory bound, not a
+    # tuning constant.
+    if n_edges <= SMALL_GRAPH_EDGES:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("cluster_id", T.LongType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("is_keeper", T.BooleanType(), False),
+            ]
+        )
+        out = e.coalesce(1).mapInArrow(_unionfind_batches, schema)
+        if ckpt_bag is not None:
+            ckpt_bag |= live_ids
+        return out
     sess_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -678,27 +746,101 @@ def hot_bucket_stats(sig: DataFrame, key: str, cap: int) -> DataFrame:
     ).crossJoin(dropped.agg(F.count_distinct("doc_id").alias("n_affected_docs")))
 
 
+def _sig_bucket_pairs_batches(cap: int | None):
+    """mapInArrow worker factory: (band, key, doc_id) rows of ONE
+    hash-partition → every ordered doc pair sharing a (band, key)
+    bucket, ``doc_a < doc_b``. Buckets larger than ``cap`` are skipped
+    (the :func:`_cap_hot_buckets` semantics — bucket size = row count,
+    one row per doc per band)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def gen(batches):
+        bl, kl, dl = [], [], []
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            bl.append(np.asarray(batch.column(0)))
+            kl.append(np.asarray(batch.column(1)))
+            dl.append(np.asarray(batch.column(2)))
+        if not dl:
+            return
+        band = np.concatenate(bl).astype(np.int64)
+        key = np.concatenate(kl)
+        doc = np.concatenate(dl)
+        # (band, key) → dense group id; key may be any dtype (md5 hex
+        # string or int64 band_sig)
+        _, kinv = np.unique(key, return_inverse=True)
+        comp = band * (int(kinv.max()) + 1) + kinv
+        order = np.lexsort((doc, comp))
+        comp, doc = comp[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, comp[1:] != comp[:-1]])
+        ends = np.r_[starts[1:], len(comp)]
+        out_a, out_b, pending = [], [], 0
+        flush_rows = 1 << 20  # bound worker memory + Arrow batch size
+
+        def batch():
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_a), type=pa.int64()),
+                    pa.array(np.concatenate(out_b), type=pa.int64()),
+                ],
+                names=["doc_a", "doc_b"],
+            )
+
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2 or (cap is not None and m > cap):
+                continue
+            g = doc[s:e]
+            # row-sliced emission: (g[i], g[i+1:]) per row keeps peak
+            # memory ∝ flush_rows even for an uncapped hot bucket
+            for i in range(m - 1):
+                out_a.append(np.full(m - 1 - i, g[i]))
+                out_b.append(g[i + 1 :])
+                pending += m - 1 - i
+                if pending >= flush_rows:
+                    yield batch()
+                    out_a, out_b, pending = [], [], 0
+        if pending:
+            yield batch()
+
+    return gen
+
+
 def sig_self_pairs(
     sig: DataFrame, key: str = "minhash", max_bucket: int | None = None
 ) -> DataFrame:
-    """Candidate pairs among one signature frame: equi-join on
-    (band, ``key``), normalized ``doc_a < doc_b``. ``key`` is the
-    signature-family column: ``minhash`` (md5 spec) or ``band_sig``
+    """Candidate pairs among one signature frame: docs sharing a
+    (band, ``key``) bucket, normalized ``doc_a < doc_b``. ``key`` is
+    the signature-family column: ``minhash`` (md5 spec) or ``band_sig``
     (int64 kernel — 8-byte join keys, no shingle shuffle to produce).
 
+    Round 6 plan shape: ONE hash repartition on (band, key) co-locates
+    each bucket and a narrow Arrow kernel emits its intra-bucket pairs
+    — replacing the sort-merge SELF-JOIN (exchange + two sorts of the
+    signature frame + the join's pair materialization) with one keyed
+    exchange of the raw signature rows (guide §2.4/§4.2). The pair set
+    is identical; the trailing ``distinct`` (multi-band collisions) is
+    unchanged and operates on the — tiny — pair output, not the
+    signature stream.
+
     ``max_bucket`` bounds the worst case: (band, key) buckets larger
-    than it are dropped before the self-join (see
-    :func:`_cap_hot_buckets`); ``None`` (the oracle-parity default)
-    means uncapped."""
-    if max_bucket is not None:
-        sig = _cap_hot_buckets(sig, key, max_bucket)
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(b, ["band", key])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    than it emit nothing (identical to dropping them before a join —
+    see :func:`_cap_hot_buckets`); ``None`` (the oracle-parity
+    default) means uncapped."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType(), False),
+            T.StructField("doc_b", T.LongType(), False),
+        ]
     )
+    rows = sig.select("band", key, F.col("doc_id").cast("long")).repartition(
+        "band", key
+    )
+    return rows.mapInArrow(_sig_bucket_pairs_batches(max_bucket), out_schema).distinct()
 
 
 def sig_cross_pairs(
