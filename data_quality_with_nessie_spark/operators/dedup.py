@@ -199,9 +199,13 @@ def minhash_signature_frame(docs: DataFrame) -> DataFrame:
 
     Round 6: the shingle stream is consumed WITHOUT the per-doc set
     collapse (``distinct=False``): the 64 minima are identical over the
-    multiset, and the collapse cost a full shuffle of the string stream
-    before the (map-side-combined) minima groupBy — one Exchange
-    removed; the surviving shuffle carries only docs × 64 longs.
+    multiset. (Plan note: Catalyst's RemoveRedundantAggregates was
+    already eliding the old frame-level distinct under these
+    duplicate-agnostic min aggregates — committed plans before/after
+    are identical; the explicit opt-out makes the shape intentional
+    rather than optimizer-dependent, and matters for the array-distinct
+    form ``distinct=True`` now takes, which the rule cannot elide.)
+    The one shuffle carries docs × 64 longs, map-side combined.
     """
     sh = _shingles(docs, distinct=False)
     h = F.md5(F.col("shingle"))
@@ -343,7 +347,17 @@ def verified_pairs_frame(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = _shingles(docs).join(F.broadcast(in_play), "doc_id", "left_semi")
+    # the pruned shingle frame feeds THREE subtrees (intersection left,
+    # intersection right, sizes); without a shuffle boundary each one
+    # would re-run the scan + shingling + semi-join. The repartition is
+    # that boundary: one exchange of the (tiny, pruned) rows, computed
+    # once and re-read via ReusedExchange — and the sizes groupBy reuses
+    # its doc_id partitioning outright.
+    sh = (
+        _shingles(docs)
+        .join(F.broadcast(in_play), "doc_id", "left_semi")
+        .repartition("doc_id")
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -609,6 +623,14 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k_pairs: int = 20) -> D
     docs = _docs(spark, sf_dir)
     tok = _shingles(docs).withColumnRenamed("shingle", "w")
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # Round 6 measurement note: on this corpus the self-join fans out
+    # to ~127M pair rows (~114M distinct pairs) — intrinsic to the
+    # exhaustive semantics. An Arrow-kernel rewrite (bucket-local pair
+    # emission + sort/run-length counting) was tried and is SLOWER
+    # (28 s vs 11-15 s): two Python↔JVM crossings of the 127M-row pair
+    # stream cost more than the JVM join emission + hash aggregation
+    # they replace. The wins that stood are upstream: the shuffle-free
+    # shingle set (array_distinct) and the shared w-exchange.
     a = tok.alias("a")
     b = tok.alias("b")
     inter = (

@@ -61,15 +61,19 @@ def test_anti_join_not_cartesian(spark):
 
 
 def test_dedup_self_joins_reuse_exchanges(spark):
-    """The MinHash/shingle subtrees appear twice in the static plan
-    (self-joins) but AQE must REUSE their shuffle output at runtime —
-    otherwise candidate generation costs 2× the signature computation."""
+    """Duplicated MinHash/shingle subtrees must be REUSED by AQE at
+    runtime — otherwise candidate generation costs 2× the signature
+    computation. Round 6: ``lsh_candidate_pairs`` no longer HAS a
+    self-join at all (bucket-local pair kernel) — its pin is the new
+    shape: zero join nodes, one keyed exchange feeding the pair
+    kernel."""
     from data_quality_with_nessie_spark.operators import dedup as D
 
     df = D.lsh_candidate_pairs(spark, SF)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final
+    assert "Join" not in final  # self-join replaced by the pair kernel
+    assert "MapInArrow" in final
 
     df2 = D.ngram_jaccard_topk(spark, SF)
     df2.collect()
