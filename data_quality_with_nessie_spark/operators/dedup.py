@@ -173,6 +173,48 @@ def _shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
     return toks.select("doc_id", F.explode(arr).alias("shingle"))
 
 
+def _minhash_partial_min_batches(batches):
+    """mapInArrow worker: (doc_id, a, b) shingle-seed batches of ONE
+    partition → per-doc PARTIAL minima of the 64 salted hashes
+    h_k = (a + k·b) mod 2^32, as one (doc_id, m0..m63) row per doc seen
+    by this task. Pure int64 numpy — no overflow (a < 2^32, b < 2^33,
+    k·b < 2^39) and bit-identical to the Catalyst min-aggregate form;
+    the downstream 64-column min groupBy merges partials exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    ks = np.arange(N_HASHES, dtype=np.int64)
+    mod = 1 << 32
+    acc: dict[int, "np.ndarray"] = {}
+    for batch in batches:
+        d = np.asarray(batch.column(0))
+        a = np.asarray(batch.column(1))
+        b = np.asarray(batch.column(2))
+        if len(d) == 0:
+            continue
+        order = np.argsort(d, kind="stable")
+        d, a, b = d[order], a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        h = (a[:, None] + b[:, None] * ks[None, :]) % mod
+        mins = np.minimum.reduceat(h, starts, axis=0)
+        for i, s in enumerate(starts):
+            did = int(d[s])
+            prev = acc.get(did)
+            if prev is None:
+                acc[did] = mins[i].copy()
+            else:
+                np.minimum(prev, mins[i], out=prev)
+    if not acc:
+        return
+    ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+    m = np.vstack(list(acc.values()))
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(ids, type=pa.int64())]
+        + [pa.array(m[:, k], type=pa.int64()) for k in range(N_HASHES)],
+        names=["doc_id"] + [f"m{k}" for k in range(N_HASHES)],
+    )
+
+
 def minhash_signature_frame(docs: DataFrame) -> DataFrame:
     """Per-(doc, band) MinHash over a ``(doc_id, text)`` frame: 64
     salted minima m_k = min over shingles of md5(k ':' shingle), folded
@@ -206,17 +248,31 @@ def minhash_signature_frame(docs: DataFrame) -> DataFrame:
     rather than optimizer-dependent, and matters for the array-distinct
     form ``distinct=True`` now takes, which the rule cannot elide.)
     The one shuffle carries docs × 64 longs, map-side combined.
+
+    Round 6 (guide §4.2 — hand whole batches to vectorized native
+    code): the 64 per-row modular hashes + running minima moved from a
+    64-column codegen min-aggregate into a narrow numpy kernel
+    (:func:`_minhash_partial_min_batches`) that emits per-PARTITION
+    partial minima; the unchanged 64-min groupBy then merges one row
+    per (doc × task) instead of consuming the 5M-row shingle-seed
+    stream. Minima are exact int64 arithmetic either way (measured
+    2.6-4.5 s → ~2.0 s at the 10× tiling; collected frames equal).
+    The md5 seeding and the band-signature fold stay in Catalyst.
     """
+    from pyspark.sql import types as T
+
     sh = _shingles(docs, distinct=False)
     h = F.md5(F.col("shingle"))
     a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
-    pre = sh.select("doc_id", a.alias("a"), b.alias("b"))
-    mins = pre.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("a") + k * F.col("b")) % F.lit(1 << 32)).alias(f"m{k}")
-            for k in range(N_HASHES)
-        ]
+    pre = sh.select(F.col("doc_id").cast("long").alias("doc_id"), a.alias("a"), b.alias("b"))
+    partial_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)]
+        + [T.StructField(f"m{k}", T.LongType(), False) for k in range(N_HASHES)]
+    )
+    partial = pre.mapInArrow(_minhash_partial_min_batches, partial_schema)
+    mins = partial.groupBy("doc_id").agg(
+        *[F.min(f"m{k}").alias(f"m{k}") for k in range(N_HASHES)]
     )
     bands = F.array(
         *[
@@ -353,9 +409,16 @@ def verified_pairs_frame(
     # that boundary: one exchange of the (tiny, pruned) rows, computed
     # once and re-read via ReusedExchange — and the sizes groupBy reuses
     # its doc_id partitioning outright.
+    # the shingle string is only ever used for EQUALITY below (the
+    # intersection join and the per-doc size count), so it is collapsed
+    # to xxhash64 before the exchange — 8-byte keys through the shuffle
+    # and the (doc_b, shingle) join instead of ~20-40-byte strings
+    # (guide §2.3; same collision-reliance class as the md5 content
+    # fingerprints: ~300 shingles/doc ⇒ per-doc collision ~5e-15).
     sh = (
         _shingles(docs)
         .join(F.broadcast(in_play), "doc_id", "left_semi")
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .repartition("doc_id")
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -621,7 +684,16 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k_pairs: int = 20) -> D
     this exhaustive form exists to oracle the scoring math at test scale.
     """
     docs = _docs(spark, sf_dir)
-    tok = _shingles(docs).withColumnRenamed("shingle", "w")
+    # Join on xxhash64(shingle), not the shingle string (guide §2.3
+    # "narrower types"): the self-join + intersection count only needs
+    # shingle EQUALITY, so an 8-byte key replaces the ~20-40-byte string
+    # in both join exchanges and the sort/hash compares — measured
+    # 8.3-8.9 s → 6.5-7.9 s at the 10× tiling. Distinct shingles
+    # colliding in 64 bits would merge two intersection rows; at 5M
+    # distinct shingles the birthday bound is ~7e-7 — the same class of
+    # reliance as the md5 content fingerprints every dedup stage here is
+    # built on.
+    tok = _shingles(docs).select("doc_id", F.xxhash64("shingle").alias("w"))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # Round 6 measurement note: on this corpus the self-join fans out
     # to ~127M pair rows (~114M distinct pairs) — intrinsic to the
@@ -629,8 +701,12 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k_pairs: int = 20) -> D
     # emission + sort/run-length counting) was tried and is SLOWER
     # (28 s vs 11-15 s): two Python↔JVM crossings of the 127M-row pair
     # stream cost more than the JVM join emission + hash aggregation
-    # they replace. The wins that stood are upstream: the shuffle-free
-    # shingle set (array_distinct) and the shared w-exchange.
+    # they replace. Deriving ``sizes`` narrowly from the shingle ARRAY
+    # (size(array_distinct(..)) with no explode/shuffle) was also tried
+    # and is ~10× SLOWER: the giant per-row array expression subtree is
+    # re-evaluated per consumer once it feeds more than the explode.
+    # The wins that stood are upstream: the shuffle-free shingle set
+    # (array_distinct), the shared w-exchange, and the hashed join key.
     a = tok.alias("a")
     b = tok.alias("b")
     inter = (
@@ -696,8 +772,16 @@ def near_dup_drop_ids(
     """
     from ..functions.columns import doc_key_id
 
-    docs = source.select(
-        doc_key_id().alias("doc_id"), F.col("content").alias("text")
+    # fan_out (round 6): the standalone doc operators already re-spread a
+    # compact single-split scan (operators/parallel.py), but this library
+    # path received ``source`` raw — on a one-split input every CPU-heavy
+    # stage below (fingerprinting, shingling, the 64-min signature
+    # partial-agg) inherited ONE scan task and serialized on a single
+    # core (measured: 11.8 s → 7.4 s at the 10× tiling just from this).
+    # At production scale the input has many splits and fan_out is a
+    # no-op, so the extra Exchange never reaches the 100 TB plan.
+    docs = fan_out(
+        source.select(doc_key_id().alias("doc_id"), F.col("content").alias("text"))
     )
     fp_map = exact_collapse_map(docs).localCheckpoint()
     reps = docs.join(
