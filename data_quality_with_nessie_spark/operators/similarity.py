@@ -406,17 +406,29 @@ def _explode_codes_with_emb(n_bands: int, band_bits: int):
 def _bucket_score_batches(margin: float):
     """mapInArrow worker factory for the bucket-local pair scorer: the
     task buffers its partition (all rows of its (band, code) buckets),
-    groups by bucket, and scores EVERY ordered pair inside each bucket
-    with vectorized float64 arithmetic whose summation order is
-    IDENTICAL to the Catalyst `_pair_cos` fold (products accumulated in
-    element order from 0.0; norms likewise; one division) — the emitted
-    ``cos`` is bit-for-bit the value the old join+HOF plan computed, so
-    Spark-side round/filter/distinct semantics are unchanged. Pairs are
+    groups by bucket, and scores EVERY ordered pair inside each bucket.
+
+    Round 6, second pass (guide §4.2 — hand batches to native code):
+    the bulk scan is ONE BLAS matmul per (bucket × 512-column tile) —
+    ~50× the throughput of the explicit 64-step accumulation loop —
+    used only to DECIDE which pairs can survive, with a guard band of
+    1e-7 (the |BLAS − ordered-fold| difference for 64-term float64
+    dots of unit-scale vectors is ≤ ~1e-13, six orders smaller). Every
+    pair the matmul scores ≥ margin − guard is then RE-SCORED with the
+    exact Catalyst fold order (products accumulated in element order
+    from 0.0; norms likewise; one division), and only that exact value
+    is compared to ``margin`` and emitted — so the emitted ``cos`` is
+    bit-for-bit the value the old join+HOF plan computed and Spark-side
+    round/filter/distinct semantics are unchanged (measured: collected
+    calib16x4 frames equal, 5.7 s → 1.5 s at the 10× tiling). Pairs are
     pre-filtered at ``margin`` (threshold − 1e-6, strictly below the
     smallest unrounded value that can round up to the threshold), so
-    only near-threshold survivors cross the Arrow boundary."""
+    only near-threshold survivors cross the Arrow boundary. The
+    512-column tile bounds the scratch matrix exactly as before."""
     import numpy as np
     import pyarrow as pa
+
+    guard = 1e-7
 
     def gen(batches):
         bands_l, codes_l, ids_l, mats = [], [], [], []
@@ -450,28 +462,38 @@ def _bucket_score_batches(margin: float):
             m = int(e - s)
             if m < 2:
                 continue
-            M = E[s:e]
+            M = np.ascontiguousarray(E[s:e])
             gids = ids[s:e]  # ascending (lexsort ties broken by id)
+            # norms in exact fold order (they divide the EXACT dot below)
             nrm = np.zeros(m)
             for k in range(EMB_DIM):
                 nrm += M[:, k] * M[:, k]
             nrm = np.sqrt(nrm)
+            Mt = M.T
             for j0 in range(1, m, tile):
                 j1 = min(j0 + tile, m)
-                P = np.zeros((m, j1 - j0))
-                for k in range(EMB_DIM):
-                    P += M[:, k, None] * M[None, j0:j1, k]
+                P = M @ Mt[:, j0:j1]  # BLAS bulk scan (decision only)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     # NaN/inf (zero-norm vectors) compare False below —
                     # same drop the old round(NaN) ≥ threshold filter did
                     C = P / (nrm[:, None] * nrm[None, j0:j1])
-                ii, jj = np.nonzero(C >= margin)
+                ii, jj = np.nonzero(C >= margin - guard)
                 keep = ii < jj + j0
-                if keep.any():
-                    ii, jj = ii[keep], jj[keep]
-                    out_a.append(gids[ii])
-                    out_b.append(gids[jj + j0])
-                    out_c.append(C[ii, jj])
+                if not keep.any():
+                    continue
+                ii, jj = ii[keep], jj[keep] + j0
+                # exact fold-order re-score of the (few) survivors
+                acc = np.zeros(len(ii))
+                A, B = M[ii], M[jj]
+                for k in range(EMB_DIM):
+                    acc += A[:, k] * B[:, k]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    exact = acc / (nrm[ii] * nrm[jj])
+                ok = exact >= margin
+                if ok.any():
+                    out_a.append(gids[ii[ok]])
+                    out_b.append(gids[jj[ok]])
+                    out_c.append(exact[ok])
         if out_a:
             yield pa.RecordBatch.from_arrays(
                 [
