@@ -649,7 +649,12 @@ def cluster_frame(
     if not converged:
         # refuse rather than silently split a component (keeping several
         # near-identical copies); at O(log n) rounds this fires only on
-        # a logic bug, never on a deep-but-finite topology.
+        # a logic bug, never on a deep-but-finite topology. The final
+        # round's checkpoint blocks are freed BEFORE raising (round-5
+        # ADVICE): nothing will ever consume them once this call aborts,
+        # and leaving them pinned until ContextCleaner GC is exactly the
+        # accumulation failure mode the per-round release exists to stop.
+        release_checkpoints(edges.sparkSession, live_ids)
         raise RuntimeError(
             f"cluster_frame did not converge within max_iter={max_iter} rounds"
         )
@@ -737,6 +742,7 @@ def near_dup_drop_ids(
     use_kernel: bool = False,
     committed_ids: DataFrame | None = None,
     cluster_max_iter: int = 50,
+    ckpt_bag: set | None = None,
 ) -> DataFrame:
     """Near-duplicate NON-keepers of a pipeline input frame, as one
     column of ``doc_id`` = :func:`~...functions.columns.doc_key_id`.
@@ -783,7 +789,18 @@ def near_dup_drop_ids(
     docs = fan_out(
         source.select(doc_key_id().alias("doc_id"), F.col("content").alias("text"))
     )
-    fp_map = exact_collapse_map(docs).localCheckpoint()
+    # ckpt_bag (round-5 ADVICE): when provided, this call's checkpoint
+    # RDD ids (fp_map here + the final clustering round's, below) are
+    # recorded for the caller to free via :func:`release_checkpoints`
+    # AFTER the returned drop set has materialized. Without a bag the
+    # blocks live until ContextCleaner GC — acceptable for one-shot
+    # query use (the bench/oracle path materializes once and the session
+    # ends), but repeated library calls in a long session should pass a
+    # bag like ``pipeline.run``'s tracked pre-pass does.
+    if ckpt_bag is not None:
+        fp_map = tracked_checkpoint(exact_collapse_map(docs), ckpt_bag)
+    else:
+        fp_map = exact_collapse_map(docs).localCheckpoint()
     reps = docs.join(
         fp_map.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
         "doc_id",
@@ -797,7 +814,7 @@ def near_dup_drop_ids(
     verified = verified_pairs_frame(reps, threshold, candidates).unionByName(
         member_edges(fp_map)
     )
-    clusters = cluster_frame(verified, max_iter=cluster_max_iter)
+    clusters = cluster_frame(verified, max_iter=cluster_max_iter, ckpt_bag=ckpt_bag)
     return rank_drop_ids(clusters, committed_ids)
 
 

@@ -476,3 +476,82 @@ def test_cluster_frame_deep_chain(spark):
     assert set(got) == set(range(n + 1))
     for i in range(n + 1):
         assert got[i] == (0, i == 0)
+
+
+def test_minhash_partial_min_kernel_matches_catalyst_agg(spark):
+    """Round 6: minhash_signature_frame computes the 64 salted-hash
+    minima in a numpy mapInArrow kernel (per-task partials merged by
+    the unchanged 64-min groupBy). Its output must be row-identical to
+    the pure Catalyst aggregate form it replaced."""
+    from pyspark.sql import functions as F
+
+    from data_quality_with_nessie_spark.operators.dedup import (
+        N_BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+        _docs,
+        _shingles,
+        minhash_signature_frame,
+    )
+
+    docs = _docs(spark, "/root/testdata/sf0.01")
+    sh = _shingles(docs, distinct=False)
+    h = F.md5(F.col("shingle"))
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
+    mins = (
+        sh.select("doc_id", a.alias("a"), b.alias("b"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("a") + k * F.col("b")) % F.lit(1 << 32)).alias(f"m{k}")
+                for k in range(N_HASHES)
+            ]
+        )
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"m{bi * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("minhash"),
+            )
+            for bi in range(N_BANDS)
+        ]
+    )
+    ref = (
+        mins.select("doc_id", F.explode(bands).alias("s"))
+        .select("doc_id", F.col("s.band").alias("band"), F.col("s.minhash").alias("minhash"))
+        .collect()
+    )
+    got = minhash_signature_frame(docs).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
+def test_near_dup_drop_ids_ckpt_bag_releases(spark, input_pdf):
+    """Round-5 ADVICE: the library path can now thread a ckpt_bag so its
+    localCheckpoint blocks (fp_map + final clustering round) are freed
+    eagerly once the drop set has materialized."""
+    from data_quality_with_nessie_spark.operators.dedup import (
+        _persistent_rdds,
+        near_dup_drop_ids,
+        release_checkpoints,
+    )
+    from data_quality_with_nessie_spark.schemas import SOURCE_FILES
+
+    sdf = spark.createDataFrame(input_pdf.head(200), schema=SOURCE_FILES)
+    bag: set = set()
+    out = near_dup_drop_ids(sdf, ckpt_bag=bag).collect()
+    assert bag, "checkpoint ids must be recorded"
+    held = set(_persistent_rdds(spark)) & bag
+    assert held, "checkpoint blocks should still be persisted before release"
+    release_checkpoints(spark, bag)
+    assert not (set(_persistent_rdds(spark)) & held)
+    assert not bag

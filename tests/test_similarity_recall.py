@@ -182,3 +182,47 @@ def test_band_codes_reject_missing_vec_id(spark):
         S._band_codes(other, "doc_id")
     with pytest.raises(AssertionError):
         S._band_codes_hof(other, "doc_id")
+
+
+def test_kernel_pair_scores_bits_match_hof_join(spark):
+    """Round 6: the bucket-local scorer (BLAS bulk scan + exact
+    fold-order re-score of survivors) must emit cos_sim values
+    BIT-IDENTICAL to the join + Catalyst-HOF form over the same
+    candidate set — the guard band may only affect which pairs get the
+    exact re-score, never the emitted bits."""
+    threshold = 0.5
+    kernel = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in S._kernel_pair_scores(
+            S._emb(spark, SF), S.N_BANDS, S.BAND_BITS, threshold
+        ).collect()
+    }
+    emb = S._emb_n(spark, SF)
+    cand = S.pruned_candidate_pairs(emb, S.N_BANDS, S.BAND_BITS)
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    ref = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in (
+            cand.join(ea, "id_a")
+            .join(eb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                S._pair_cos(
+                    F.col("e_a"), F.col("n_a"), F.col("e_b"), F.col("n_b")
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        ).collect()
+    }
+    assert ref, "fixture must produce at least one scored pair"
+    assert kernel == ref
