@@ -25,9 +25,10 @@ from pyspark.sql.window import Window
 from .parallel import fan_out
 import threading
 
-# Guards the (snapshot → localCheckpoint → snapshot) window in
-# _checkpoint_release so two concurrent clustering calls in one session
-# cannot mis-attribute each other's checkpoint blocks.
+# Serializes unpersist sweeps in _checkpoint_release/release_checkpoints
+# (ownership itself is no longer inferred from a global snapshot — see
+# _checkpoint_rdd_id — so concurrent persists by un-locked code can never
+# be misattributed and force-freed).
 _CKPT_LOCK = threading.Lock()
 
 
@@ -41,6 +42,20 @@ def _persistent_rdds(spark) -> dict:
         t = it.next()
         out[t._1()] = t._2()
     return out
+
+
+def _checkpoint_rdd_id(df: DataFrame) -> int:
+    """RDD id of a ``localCheckpoint``-ed frame's persisted blocks, read
+    directly off its ``LogicalRDD`` plan node. ``Dataset.localCheckpoint``
+    wraps the checkpointed internal RDD in a ``LogicalRDD``, so this IS
+    the id ``RDD.localCheckpoint`` registered in the block manager
+    (probe-verified; ``queryExecution.toRdd`` would be a fresh DERIVED
+    RDD with a different id). Deriving ownership from the frame itself —
+    not a before/after diff of the session-global persistent-RDD map —
+    means a concurrent ``.persist()``/checkpoint by code that does not
+    take ``_CKPT_LOCK`` can never be misattributed to this bag and
+    force-unpersisted while still referenced (round-6 ADVICE, medium)."""
+    return df._jdf.queryExecution().analyzed().rdd().id()
 
 
 def _checkpoint_release(df: DataFrame, prev_ids: set) -> tuple[DataFrame, set]:
@@ -61,11 +76,10 @@ def _checkpoint_release(df: DataFrame, prev_ids: set) -> tuple[DataFrame, set]:
     CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on any later read attempt).
     """
     spark = df.sparkSession
+    out = df.localCheckpoint()
+    new_ids = {_checkpoint_rdd_id(out)}
     with _CKPT_LOCK:
-        before = set(_persistent_rdds(spark))
-        out = df.localCheckpoint()
         handles = _persistent_rdds(spark)
-        new_ids = set(handles) - before
         for rid in prev_ids:
             h = handles.get(rid)
             if h is not None:

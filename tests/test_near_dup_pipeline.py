@@ -555,3 +555,59 @@ def test_near_dup_drop_ids_ckpt_bag_releases(spark, input_pdf):
     release_checkpoints(spark, bag)
     assert not (set(_persistent_rdds(spark)) & held)
     assert not bag
+
+
+def test_checkpoint_ownership_is_frame_derived(spark):
+    """Round-6 ADVICE (medium): checkpoint ownership must be derived
+    from the checkpointed frame itself (its LogicalRDD's RDD id), not a
+    before/after diff of the session-global persistent-RDD map — under
+    the diff scheme a concurrent ``.persist()`` by code that does not
+    take _CKPT_LOCK lands in the snapshot window, gets misattributed to
+    the bag, and is force-unpersisted while still referenced (a freed
+    localCheckpoint block is unrecoverable). Foreign persists running
+    concurrently must never appear in any returned id set."""
+    import threading
+
+    from data_quality_with_nessie_spark.operators.dedup import (
+        _checkpoint_rdd_id,
+        _checkpoint_release,
+        _persistent_rdds,
+        release_checkpoints,
+    )
+
+    foreign_ids: list = []
+    foreign_rdds: list = []
+    stop = threading.Event()
+
+    def foreign_persister():
+        while not stop.is_set():
+            r = spark.sparkContext.parallelize(range(100), 2).persist()
+            r.count()
+            foreign_ids.append(r.id())
+            foreign_rdds.append(r)
+
+    t = threading.Thread(target=foreign_persister, daemon=True)
+    t.start()
+    try:
+        owned: set = set()
+        for i in range(6):
+            out, ids = _checkpoint_release(
+                spark.range(200 + i).toDF("id"), set()
+            )
+            # the id comes off the frame's own plan and is really persisted
+            assert ids == {_checkpoint_rdd_id(out)}
+            assert ids <= set(_persistent_rdds(spark))
+            owned |= ids
+            release_checkpoints(spark, ids)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert owned.isdisjoint(foreign_ids), (
+        f"foreign persists misattributed as checkpoint blocks: "
+        f"{owned & set(foreign_ids)}"
+    )
+    # no foreign persist was force-freed by our releases
+    live = set(_persistent_rdds(spark))
+    assert set(foreign_ids) <= live
+    for r in foreign_rdds:
+        r.unpersist()
