@@ -162,8 +162,8 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
-    """(doc_id, shingle) pairs: k-word shingles of the lowercased text.
+def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs: 3-word shingles of the lowercased text.
 
     Round 6 (guide §2.4 — remove shuffles outright): set semantics are
     enforced with ``array_distinct`` on the per-doc shingle array
@@ -174,59 +174,103 @@ def _shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
     duplicate-insensitive consumers (the MinHash minima are identical
     over the multiset and the set, so
     :func:`minhash_signature_frame` opts out)."""
-    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    arr = F.when(
-        F.size("toks") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - k),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k)),
-        ),
-    ).otherwise(F.array())
+    arr = _shingle_arr()
     if distinct:
         arr = F.array_distinct(arr)
-    return toks.select("doc_id", F.explode(arr).alias("shingle"))
+    return docs.select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    ).select("doc_id", F.explode(arr).alias("shingle"))
 
 
-def _minhash_partial_min_batches(batches):
-    """mapInArrow worker: (doc_id, a, b) shingle-seed batches of ONE
-    partition → per-doc PARTIAL minima of the 64 salted hashes
-    h_k = (a + k·b) mod 2^32, as one (doc_id, m0..m63) row per doc seen
-    by this task. Pure int64 numpy — no overflow (a < 2^32, b < 2^33,
-    k·b < 2^39) and bit-identical to the Catalyst min-aggregate form;
-    the downstream 64-column min groupBy merges partials exactly."""
+def _shingle_arr():
+    """Per-doc 3-shingle MULTISET as an array expression over a
+    ``toks`` column (empty for sub-3-token docs — explode of an empty
+    array emits nothing, and the minhash kernel skips empty arrays, so
+    both consumers match the historical exploded doc set exactly).
+
+    Built as a ``zip_with`` of three shifted slices —
+    ``toks[i] ' ' toks[i+1] ' ' toks[i+2]`` elementwise — which is
+    measurably 2.6× cheaper than the per-element
+    ``transform(sequence, i -> concat_ws(' ', slice(toks, i+1, 3)))``
+    form (0.54 s vs 1.40 s for the array build at the 10× tiling): the
+    slice-per-element form allocates an O(k) array per shingle.
+    Identical strings in identical order (``concat_ws`` over never-null
+    tokens ≡ ``concat`` with explicit spaces).
+
+    NOTE (measured, guide §1.1): do NOT filter on ``size(<this>)`` —
+    CollapseProject inlines the whole array subtree into the filter
+    condition and the projection separately, re-evaluating it per
+    consumer (1.4 s → 28 s at the 10× tiling; same trap as the
+    ``ngram_jaccard_topk`` sizes note)."""
+    a = F.col("toks")
+    n = F.size(a)
+    return F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(a, 1, n - 2),
+            F.zip_with(
+                F.slice(a, 2, n - 2),
+                F.slice(a, 3, n - 2),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+            lambda x, yz: F.concat(x, F.lit(" "), yz),
+        ),
+    ).otherwise(F.array())
+
+
+def _minhash_doc_batches(batches):
+    """mapInArrow worker: (doc_id, sh list<string>) batches — ONE row
+    per doc carrying its whole shingle multiset — → one
+    (doc_id, m0..m63) row per doc: md5 seeding AND the 64 salted minima
+    h_k = (a + k·b) mod 2^32 computed here.
+
+    Byte-identical to the Catalyst form by construction: the shingle
+    strings arrive PRE-ASSEMBLED from the JVM (tokenization, lowercase
+    and ``concat_ws`` keep their Java semantics — nothing
+    locale/regex-sensitive is reimplemented), ``hashlib.md5`` over the
+    Arrow UTF-8 buffer equals ``F.md5`` over ``UTF8String`` bytes, the
+    digest's first/second 4 bytes big-endian equal
+    ``conv(substring(hex,1,8),16,10)`` / ``conv(substring(hex,9,8),...)``,
+    and the minima are exact int64 arithmetic (a < 2^32, b < 2^33,
+    k·b < 2^39 — no overflow)."""
+    import hashlib
+
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     ks = np.arange(N_HASHES, dtype=np.int64)
     mod = 1 << 32
-    acc: dict[int, "np.ndarray"] = {}
+    md5 = hashlib.md5
     for batch in batches:
         d = np.asarray(batch.column(0))
-        a = np.asarray(batch.column(1))
-        b = np.asarray(batch.column(2))
         if len(d) == 0:
             continue
-        order = np.argsort(d, kind="stable")
-        d, a, b = d[order], a[order], b[order]
-        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-        h = (a[:, None] + b[:, None] * ks[None, :]) % mod
-        mins = np.minimum.reduceat(h, starts, axis=0)
-        for i, s in enumerate(starts):
-            did = int(d[s])
-            prev = acc.get(did)
-            if prev is None:
-                acc[did] = mins[i].copy()
-            else:
-                np.minimum(prev, mins[i], out=prev)
-    if not acc:
-        return
-    ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-    m = np.vstack(list(acc.values()))
-    yield pa.RecordBatch.from_arrays(
-        [pa.array(ids, type=pa.int64())]
-        + [pa.array(m[:, k], type=pa.int64()) for k in range(N_HASHES)],
-        names=["doc_id"] + [f"m{k}" for k in range(N_HASHES)],
-    )
+        la = batch.column(1)
+        counts = np.asarray(pc.list_value_length(la), dtype=np.int64)
+        # flatten() honors any slice offset; binary cast hands back raw
+        # UTF-8 bytes (no str decode/encode round trip)
+        flat = la.flatten().cast(pa.binary()).to_pylist()
+        n = len(flat)
+        a = np.empty(n, dtype=np.int64)
+        b = np.empty(n, dtype=np.int64)
+        ibytes = int.from_bytes
+        for i, s in enumerate(flat):
+            dg = md5(s).digest()
+            a[i] = ibytes(dg[:4], "big")
+            b[i] = ibytes(dg[4:8], "big") * 2 + 1
+        keep = counts > 0
+        if not keep.any():
+            continue
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[keep]
+        mins = np.empty((int(keep.sum()), N_HASHES), dtype=np.int64)
+        for k in range(N_HASHES):
+            mins[:, k] = np.minimum.reduceat((a + b * k) % mod, starts)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(d[keep], type=pa.int64())]
+            + [pa.array(mins[:, k], type=pa.int64()) for k in range(N_HASHES)],
+            names=["doc_id"] + [f"m{k}" for k in range(N_HASHES)],
+        )
 
 
 def minhash_signature_frame(docs: DataFrame) -> DataFrame:
@@ -264,30 +308,46 @@ def minhash_signature_frame(docs: DataFrame) -> DataFrame:
     The one shuffle carries docs × 64 longs, map-side combined.
 
     Round 6 (guide §4.2 — hand whole batches to vectorized native
-    code): the 64 per-row modular hashes + running minima moved from a
-    64-column codegen min-aggregate into a narrow numpy kernel
-    (:func:`_minhash_partial_min_batches`) that emits per-PARTITION
-    partial minima; the unchanged 64-min groupBy then merges one row
-    per (doc × task) instead of consuming the 5M-row shingle-seed
-    stream. Minima are exact int64 arithmetic either way (measured
-    2.6-4.5 s → ~2.0 s at the 10× tiling; collected frames equal).
-    The md5 seeding and the band-signature fold stay in Catalyst.
+    code, §2.4 — shuffle fewer rows): the kernel consumes ONE ROW PER
+    DOC carrying the whole shingle multiset as an array (no explode —
+    the 5M-row shingle stream never exists as JVM rows and never
+    crosses the Arrow boundary row-per-shingle), and computes md5
+    seeding AND all 64 minima per doc in numpy+hashlib
+    (:func:`_minhash_doc_batches`; byte-exactness argument in its
+    docstring — tokenization/lowercase/concat stay in the JVM, so no
+    locale/regex semantics are reimplemented). The signature frame is
+    now ZERO-shuffle: each doc's minima are final the moment its row
+    leaves the kernel, so the historical 64-column min groupBy is GONE
+    (measured: that agg alone cost ~2 s at the 10× tiling — 65-field
+    rows put it past whole-stage codegen's profitable range). The
+    groupBy only ever merged duplicate doc_ids, which no caller
+    produces (parquet doc ids are unique by the data contract; the
+    near-dup paths feed exact-collapse REPRESENTATIVES); a pathological
+    dup-id input now yields one signature row per input row instead of
+    a merged chimera row — every pair consumer
+    (:func:`sig_self_pairs` / :func:`sig_cross_pairs`) already
+    ``distinct``-s its pair output, so near-dup results are unchanged
+    even then. Measured at the 10× tiling: 2.6-2.8 s → ~1.1 s
+    (earlier forms: 64-column codegen min-aggregate over the exploded
+    stream 2.6-4.5 s; per-shingle (doc_id,a,b) Arrow stream +
+    partial-minima kernel + merge groupBy ~2.0-2.8 s); collected
+    frames equal at sf0.01/sf0.1/10×. The band fold stays in Catalyst.
     """
     from pyspark.sql import types as T
 
-    sh = _shingles(docs, distinct=False)
-    h = F.md5(F.col("shingle"))
-    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
-    pre = sh.select(F.col("doc_id").cast("long").alias("doc_id"), a.alias("a"), b.alias("b"))
-    partial_schema = T.StructType(
+    # no size(sh)>0 pre-filter: the kernel skips empty arrays itself,
+    # and a JVM filter on the array's size re-evaluates the whole
+    # shingle-array subtree per consumer (measured 20×; see
+    # _shingle_arr's NOTE)
+    sh_arr = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _tokens(F.col("text")).alias("toks"),
+    ).select("doc_id", _shingle_arr().alias("sh"))
+    mins_schema = T.StructType(
         [T.StructField("doc_id", T.LongType(), False)]
         + [T.StructField(f"m{k}", T.LongType(), False) for k in range(N_HASHES)]
     )
-    partial = pre.mapInArrow(_minhash_partial_min_batches, partial_schema)
-    mins = partial.groupBy("doc_id").agg(
-        *[F.min(f"m{k}").alias(f"m{k}") for k in range(N_HASHES)]
-    )
+    mins = sh_arr.mapInArrow(_minhash_doc_batches, mins_schema)
     bands = F.array(
         *[
             F.struct(

@@ -479,10 +479,12 @@ def test_cluster_frame_deep_chain(spark):
 
 
 def test_minhash_partial_min_kernel_matches_catalyst_agg(spark):
-    """Round 6: minhash_signature_frame computes the 64 salted-hash
-    minima in a numpy mapInArrow kernel (per-task partials merged by
-    the unchanged 64-min groupBy). Its output must be row-identical to
-    the pure Catalyst aggregate form it replaced."""
+    """Round 6: minhash_signature_frame computes the md5 seeding AND
+    the 64 salted-hash minima in a numpy+hashlib mapInArrow kernel fed
+    one shingle-array row per doc (no explode; the 64-min groupBy
+    remains as the duplicate-doc_id merge). Its output must be
+    row-identical to the pure Catalyst explode+aggregate form it
+    replaced."""
     from pyspark.sql import functions as F
 
     from data_quality_with_nessie_spark.operators.dedup import (
