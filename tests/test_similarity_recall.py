@@ -226,3 +226,63 @@ def test_kernel_pair_scores_bits_match_hof_join(spark):
     }
     assert ref, "fixture must produce at least one scored pair"
     assert kernel == ref
+
+
+def test_multiprobe_kernel_bits_match_join_form(spark, tmp_path):
+    """Round 6, second pass: the PROBE-EXPANDED bucket-local scorer must
+    emit EXACTLY the rows of the old multiprobe join form (9x-exploded
+    probe self-join -> pair distinct -> embedding joins -> HOF fold) —
+    same pairs, bit-identical cos_sim. Run on the clustered fixture so
+    genuine Hamming-1 (distance-1) candidates exist, not just
+    distance-0 ones. Threshold 0.2: at 0.5 this fixture's multiprobe
+    pair set collapses onto the exact-collision set (clusters sit at
+    cos >= 0.95), so only a mid-similarity cut exercises pairs that
+    collide ONLY at band Hamming distance 1."""
+    sf_dir, _ = _clustered_embeddings(spark, tmp_path)
+    threshold = 0.2
+    kernel = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in S.near_dup_pairs_pruned(
+            spark, sf_dir, threshold=threshold, multiprobe=True
+        ).collect()
+    }
+    emb = S._emb_n(spark, sf_dir)
+    cand = S.pruned_candidate_pairs(
+        emb, S.PRUNED_N_BANDS, S.PRUNED_BAND_BITS, multiprobe=True
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    ref = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in (
+            cand.join(ea, "id_a")
+            .join(eb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                S._pair_cos(
+                    F.col("e_a"), F.col("n_a"), F.col("e_b"), F.col("n_b")
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        ).collect()
+    }
+    assert len(ref) > 50, "fixture must produce real multiprobe pair volume"
+    # the join form must find strictly more than the exact-collision
+    # regime on this fixture, or the test is not exercising distance-1
+    exact_only = {
+        (r["id_a"], r["id_b"])
+        for r in S.near_dup_pairs_pruned(
+            spark, sf_dir, threshold=threshold
+        ).collect()
+    }
+    assert set(ref) > exact_only, "no distance-1 candidates exercised"
+    assert kernel == ref
