@@ -1,0 +1,60 @@
+"""Pins for the text-operator kernels (round 6)."""
+
+from pyspark.sql import functions as F
+
+from data_quality_with_nessie_spark.operators import text as T
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_piece_count_kernel_matches_regex_spec(spark):
+    """Round 6: token_stats / token_stats_fingerprint count word pieces
+    in a byte-class kernel (_piece_count_batches) instead of the
+    java.util.regex double split (which was 4.5 s of the query's 4.4 s
+    at the 10× tiling). The kernel must agree with the regex SPEC form
+    (word_pieces_expr) everywhere — in particular on unicode text,
+    where the byte-runs==char-runs argument (continuation bytes are
+    never alnum) carries the equivalence, and on empty / single-char /
+    run-boundary edge cases."""
+    advs = [
+        "", " ", "a", "1", "¡", "abc", "   ", "a b c", "ab!cd",
+        "¡héllo wörld!", "a¡b", "\t\n x9\r", "🎉abc🎉", "ÿ0ÿ",
+        "x" * 5000, "ab¡" * 2000, "0aZ z9.!?", "é", "éa", "aé",
+        "mixed ¡¡ runs 123¡¡abc",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(advs)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_pieces"] for r in T._with_piece_counts(df).collect()}
+    want = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", T.word_pieces_expr().cast("long").alias("p")
+        ).collect()
+    }
+    assert got == want
+
+    docs = T._docs(spark, SF)
+    kk = T._with_piece_counts(docs).select("doc_id", "n_pieces")
+    rr = docs.select("doc_id", T.word_pieces_expr().cast("long").alias("n_pieces"))
+    assert kk.exceptAll(rr).unionByName(rr.exceptAll(kk)).count() == 0
+
+
+def test_piece_count_passthrough_text_intact(spark):
+    """The kernel passes text through by Arrow reference; downstream
+    hash columns must see the bytes unchanged."""
+    docs = T._docs(spark, SF)
+    a = sorted(
+        (r["doc_id"], r["h"])
+        for r in T._with_piece_counts(docs)
+        .select("doc_id", F.sha2("text", 256).alias("h"))
+        .collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["h"])
+        for r in docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.sha2("text", 256).alias("h"),
+        ).collect()
+    )
+    assert a == b
